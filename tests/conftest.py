@@ -1,0 +1,15 @@
+"""Test config: force an 8-device virtual CPU mesh before jax import.
+
+SURVEY.md §4(e): multi-device tests run on CPU via
+--xla_force_host_platform_device_count=8 to exercise mesh/psum paths
+without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
