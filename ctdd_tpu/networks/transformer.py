@@ -1,0 +1,126 @@
+"""Sequence transformer score network (tauLDR style).
+
+Counterpart of reference lib/networks/tau_networks.py:491-654
+(`TransformerEncoderLayer` with post-norm + double FiLM, `FFResidual`,
+`TransformerEncoder` with one-hot residual logits add at :647).
+Attention uses flax's fused dot-product attention (MXU, bf16-friendly).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ctdd_tpu.networks.common import (
+    PositionalEncoding,
+    TimeEmbedMLP,
+    film,
+    normalize_states,
+)
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm self-attention block with FiLM after each sub-block
+    (tau_networks.py:491-529)."""
+
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, train: bool = False):
+        K = self.d_model
+        film_params = nn.Dense(2 * K, dtype=self.dtype)(temb)
+
+        sa = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+        )(x, x)
+        sa = nn.Dropout(self.dropout, deterministic=not train)(sa)
+        x = nn.LayerNorm(dtype=self.dtype)(x + sa)
+        x = film(x, film_params, K)
+
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype)(x)
+        ff = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(ff))
+        ff = nn.Dense(K, dtype=self.dtype)(ff)
+        ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
+        x = nn.LayerNorm(dtype=self.dtype)(x + ff)
+        x = film(x, film_params, K)
+        return x
+
+
+class FFResidual(nn.Module):
+    """Residual FF + LayerNorm + FiLM output block (tau_networks.py:532-549)."""
+
+    d_model: int
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        film_params = nn.Dense(2 * self.d_model, dtype=self.dtype)(temb)
+        h = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        h = nn.Dense(self.d_model, dtype=self.dtype)(nn.relu(h))
+        x = nn.LayerNorm(dtype=self.dtype)(x + h)
+        return film(x, film_params, self.d_model)
+
+
+class SequenceTransformer(nn.Module):
+    """(B, D) int states + (B,) times -> (B, D, S) logits
+    (tau_networks.py:552-654)."""
+
+    S: int
+    num_layers: int
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float
+    num_output_FFresiduals: int
+    time_scale_factor: float
+    temb_dim: int
+    use_one_hot_input: bool
+    max_len: int = 5000
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, train: bool = False):
+        B, L = x.shape
+        temb = TimeEmbedMLP(
+            temb_dim=self.temb_dim,
+            hidden=self.dim_feedforward,
+            out_dim=4 * self.temb_dim,
+            time_scale_factor=self.time_scale_factor,
+            dtype=self.dtype,
+        )(t)
+        one_hot_x = jax.nn.one_hot(x, self.S, dtype=jnp.float32)
+
+        if self.use_one_hot_input:
+            h = nn.Dense(self.d_model, dtype=self.dtype)(
+                one_hot_x.astype(self.dtype)
+            )
+        else:
+            h = normalize_states(x, self.S)[:, :, None].astype(self.dtype)
+            h = nn.Dense(self.d_model, dtype=self.dtype)(h)
+
+        h = PositionalEncoding(d_model=self.d_model, max_len=self.max_len)(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+
+        for _ in range(self.num_layers):
+            h = EncoderLayer(
+                d_model=self.d_model,
+                num_heads=self.num_heads,
+                dim_feedforward=self.dim_feedforward,
+                dropout=self.dropout,
+                dtype=self.dtype,
+            )(h, temb, train=train)
+        for _ in range(self.num_output_FFresiduals):
+            h = FFResidual(
+                d_model=self.d_model, hidden=self.dim_feedforward, dtype=self.dtype
+            )(h, temb)
+        logits = nn.Dense(self.S, dtype=jnp.float32)(h)
+        return logits.astype(jnp.float32) + one_hot_x

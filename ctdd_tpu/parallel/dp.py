@@ -1,0 +1,130 @@
+"""Data-parallel training and sampling via shard_map.
+
+One program, N chips: params/optimizer state replicated, batch sharded over
+the 'data' mesh axis, gradients pmean-reduced over ICI. This is the complete
+parity surface for the reference's (uninitialized) DDP path (SURVEY.md §2.9),
+and is multi-host ready — the same specs work over DCN-connected slices.
+RNG: each shard folds its mesh index into the step key, so per-device noise
+is independent while params stay replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ctdd_tpu.parallel.mesh import DATA_AXIS
+from ctdd_tpu.training.state import TrainState
+from ctdd_tpu.training.train_step import NAN_SENTINEL
+
+
+def make_dp_train_step(
+    model,
+    loss,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    ema_decay: float = 0.0,
+    has_label: bool = False,
+    axis: str = DATA_AXIS,
+) -> Callable:
+    """Build `step(state, batch, key[, label]) -> (state, loss)` over a mesh."""
+
+    def loss_fn(params, batch, key, label, n_iter):
+        k_loss, k_dropout = jax.random.split(key)
+        return loss.calc_loss(
+            model, params, k_loss, batch, label=label, n_iter=n_iter,
+            train=True, rngs={"dropout": k_dropout},
+        )
+
+    def per_shard(state: TrainState, batch, key, label):
+        idx = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(key, idx)
+        l, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, key, label, state.step
+        )
+        # gradient all-reduce over ICI (the one collective needed for parity)
+        grads = jax.lax.pmean(grads, axis)
+        l = jax.lax.pmean(l, axis)
+
+        ok = jnp.isfinite(l)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_params, state.params
+        )
+        new_opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state
+        )
+        if ema_decay > 0.0:
+            ema, n_updates = state.ema_update(new_params, ema_decay)
+            ema = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), ema, state.ema_params
+            )
+            n_updates = jnp.where(ok, n_updates, state.ema_num_updates)
+        else:
+            ema, n_updates = state.ema_params, state.ema_num_updates
+        new_state = TrainState(
+            params=new_params,
+            ema_params=ema,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            ema_num_updates=n_updates,
+        )
+        return new_state, jnp.where(ok, l, NAN_SENTINEL)
+
+    label_spec = P(axis) if has_label else P()
+    shard_fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), label_spec),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state, batch, key, label=None):
+        if label is None:
+            label = jnp.zeros((), jnp.int32)
+        return shard_fn(state, batch, key, label)
+
+    return step
+
+
+def make_dp_sampler(sampler, mesh: Mesh, axis: str = DATA_AXIS) -> Callable:
+    """Shard an N-sample generation across the mesh (each chip runs the full
+    scan on N/n_devices samples — sampling is embarrassingly parallel)."""
+
+    def sample(model, params, key, N: int):
+        n_dev = mesh.devices.size
+        assert N % n_dev == 0, f"N={N} must divide over {n_dev} devices"
+        n_local = N // n_dev
+
+        def per_shard(process, params, key):
+            idx = jax.lax.axis_index(axis)
+            key = jax.random.fold_in(key, idx)
+            from ctdd_tpu.models.base import DiffusionModel
+
+            m = DiffusionModel(
+                module=model.module, process=process, cfg=sampler.cfg
+            )
+            x, diag = sampler._sample_loop(m, params, key, n_local)
+            return x
+
+        fn = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        out = jax.jit(fn)(model.process, params, key)
+        import numpy as np
+
+        return np.asarray(jax.device_get(out)).astype(int)
+
+    return sample

@@ -1,0 +1,671 @@
+"""Reverse-CTMC samplers, fully device-resident.
+
+TPU-native counterparts of reference lib/sampling/sampling.py (1277 LoC).
+The reference runs a host python loop over np.linspace timesteps with one
+network call per step and tqdm in between (sampling.py:116-234 et al.) —
+the #1 throughput loss it leaves on the table. Here every sampler is a
+`jax.lax.scan` over a precomputed (num_steps,) time grid: one compiled
+program, zero host round-trips, per-step diagnostics returned as scan
+outputs. Correctors run inside the scan via lax.cond + fori_loop.
+
+Samplers (registry names match the reference):
+- TauL                    sampling.py:81-234   (tau-leaping, ordinal clamp or
+                                                multi-jump rejection, corrector)
+- LBJF                    sampling.py:237-356  (Euler / locally-balanced jump
+                                                factorization, eq.17)
+- MidPointTauL            sampling.py:359-526  (midpoint tau-leaping; the
+                                                state-change matrix is the
+                                                ordinal difference s - x,
+                                                replacing the reference's
+                                                .pth artifact dependency)
+- PCTauL                  sampling.py:529-646  (tauLDR predictor-corrector)
+- ConditionalTauLeaping   sampling.py:649-758
+- ConditionalPCTauLeaping sampling.py:761-905
+- ExactSampling           sampling.py:975-1061 (exact reverse step via
+                                                q_{t-h|0} and q_{t|t-h})
+
+`reverse_rates` replaces the loss-name dispatch of sampling.py:31-78 with an
+explicit `rate_param` switch; `rate_param_from_loss` reproduces the reference
+dispatch (including the effect of its always-true branch at sampling.py:61:
+every non-tauLDR loss takes the CRM path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctdd_tpu import registry
+from ctdd_tpu.ops import indexing
+from ctdd_tpu.ops.logprob import logprob_with_logits
+from ctdd_tpu.utils.math import safe_log
+
+TAULDR_LOSSES = ("CTElbo", "NLL", "CTElboLambda")
+
+
+def rate_param_from_loss(loss_name: str) -> str:
+    """'p0t' (tauLDR x0-parameterization) or 'ratio' (CRM log-prob ratios)."""
+    return "p0t" if loss_name in TAULDR_LOSSES else "ratio"
+
+
+def get_sampler(cfg):
+    return registry.samplers.get(cfg.sampler.name)(cfg)
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+
+def get_initial_samples(
+    key, N: int, D: int, S: int, initial_dist: str, initial_dist_std: float = None
+) -> jnp.ndarray:
+    """Uniform or discretized-Gaussian prior x_T (sampling.py:14-28)."""
+    if initial_dist == "uniform":
+        return jax.random.randint(key, (N, D), 0, S)
+    if initial_dist == "gaussian":
+        target = np.exp(
+            -((np.arange(1, S + 1) - S // 2) ** 2) / (2 * float(initial_dist_std) ** 2)
+        )
+        logits = jnp.asarray(np.log(target / target.sum()), jnp.float32)
+        return jax.random.categorical(key, jnp.broadcast_to(logits, (N, D, S)), axis=-1)
+    raise ValueError(f"unrecognized initial dist {initial_dist}")
+
+
+def reverse_rates(
+    model, params, logits, x, t, *, rate_param: str, logit_type: str, eps: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """R̂_t(x → ·) per dim, shape (N, D, S)  (sampling.py:31-78).
+
+    p0t path:   R̂(x,y) = R(y,x) · Σ_{x0} q_{t|0}(y|x0) p0t(x0|x) / q_{t|0}(x|x0)
+    ratio path: R̂(x,y) = exp(ll_all - ll_xt) · R(x,y)
+    """
+    if rate_param == "p0t":
+        qt0 = model.transition(t)  # (N, S, S)
+        rate = model.rate(t)
+        p0t = jax.nn.softmax(logits, axis=-1)  # (N, D, S)
+        qt0_denom = indexing.cols(qt0, x) + eps  # q_{t|0}(x | x0) over x0
+        forward_rates = indexing.cols(rate, x)  # R(·, x) over target states
+        ratio = jnp.einsum(
+            "bds,bsk->bdk", p0t / qt0_denom, qt0, preferred_element_type=jnp.float32
+        )
+        return forward_rates * ratio, ratio
+    elif rate_param == "ratio":
+        ll_all, ll_xt = logprob_with_logits(logit_type, model.process, x, t, logits)
+        ratio = jnp.exp(ll_all - ll_xt[..., None])
+        fwd_rate = model.rate_mat(x, t)  # (N, D, S)
+        return ratio * fwd_rate, ratio
+    raise ValueError(f"unknown rate_param {rate_param}")
+
+
+def _poisson_jump_update(key, x, rates, h, S, is_ordinal: bool):
+    """Poisson tau-leap state update (sampling.py:129-164).
+
+    Draw jump counts per (dim, target-state), apply the summed ordinal offset,
+    clamp to [0, S-1]; non-ordinal mode rejects dims with >1 total jumps.
+    """
+    jump_nums = jax.random.poisson(key, rates * h, dtype=jnp.int32)  # (N,D,S)
+    if not is_ordinal:
+        jump_num_sum = jnp.sum(jump_nums, axis=2)
+        jump_nums = jump_nums * (jump_num_sum <= 1)[:, :, None]
+    diff = jnp.arange(S, dtype=jnp.int32)[None, None, :] - x[:, :, None]
+    overall_jump = jnp.sum(jump_nums * diff, axis=2)
+    return jnp.clip(x + overall_jump, 0, S - 1)
+
+
+def _categorical_euler_update(key, x, rev_rates, h, S):
+    """LBJF / Euler categorical step (sampling.py:278-293, eq.17)."""
+    xt_onehot = jax.nn.one_hot(x, S)
+    post_0 = rev_rates * (1.0 - xt_onehot)
+    off_diag = jnp.sum(post_0, axis=-1, keepdims=True)
+    diag = jnp.clip(1.0 - h * off_diag, 0.0, None)
+    posterior = post_0 * h + diag * xt_onehot
+    posterior = posterior / jnp.sum(posterior, axis=-1, keepdims=True)
+    return jax.random.categorical(key, jnp.log(posterior + 1e-35), axis=-1)
+
+
+def _time_grid(max_t: float, min_t: float, num_steps: int):
+    """ts ⊕ [0]; returns (t_k, h_k) pairs for the scan (sampling.py:107-109)."""
+    ts = np.concatenate((np.linspace(max_t, min_t, num_steps), np.array([0.0])))
+    hs = ts[:-1] - ts[1:]
+    return jnp.asarray(ts[:-1], jnp.float32), jnp.asarray(hs, jnp.float32)
+
+
+def _denoise_argmax(model, params, x, min_t, N):
+    """Final argmax denoise p_{0|min_t} (sampling.py:223-229)."""
+    t_ones = min_t * jnp.ones((N,), jnp.float32)
+    p = jax.nn.softmax(model.apply(params, x, t_ones), axis=-1)
+    return jnp.argmax(p, axis=-1)
+
+
+class _SamplerBase:
+    """Common config unpack shared by the registered samplers."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.D = cfg.model.concat_dim
+        self.S = cfg.data.S
+        self.num_steps = cfg.sampler.num_steps
+        self.min_t = cfg.sampler.min_t
+        self.max_t = cfg.training.get("max_t", 1.0)
+        self.initial_dist = cfg.sampler.initial_dist
+        self.initial_dist_std = cfg.model.get("Q_sigma", None)
+        self.eps_ratio = cfg.sampler.eps_ratio
+        self.num_corrector_steps = cfg.sampler.get("num_corrector_steps", 0)
+        self.corrector_entry_time = cfg.sampler.get("corrector_entry_time", 0.0)
+        self.corrector_step_size_multiplier = cfg.sampler.get(
+            "corrector_step_size_multiplier", 1.5
+        )
+        self.is_ordinal = cfg.sampler.get("is_ordinal", True)
+        self.loss_name = cfg.loss.name
+        self.rate_param = rate_param_from_loss(self.loss_name)
+        self.logit_type = cfg.loss.get("logit_type", "direct")
+
+    def _rev_rates(self, model, params, x, t_ones):
+        logits = model.apply(params, x, t_ones)
+        rev, _ = reverse_rates(
+            model, params, logits, x, t_ones,
+            rate_param=self.rate_param, logit_type=self.logit_type,
+            eps=self.eps_ratio,
+        )
+        return rev
+
+    def sample(self, model, params, key, N: int):
+        """Host entry: jits the device loop once per (model, N) and runs it."""
+        out = self._jitted(model.module, N)(model.process, params, key)
+        x, diags = out
+        return np.asarray(jax.device_get(x)).astype(int), jax.device_get(diags)
+
+    @functools.lru_cache(maxsize=8)
+    def _jitted(self, module, N):
+        from ctdd_tpu.models.base import DiffusionModel
+
+        def run(process, params, key):
+            model = DiffusionModel(module=module, process=process, cfg=self.cfg)
+            return self._sample_loop(model, params, key, N)
+
+        return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# TauL — tau-leaping with optional corrector (sampling.py:81-234)
+# ---------------------------------------------------------------------------
+
+
+@registry.samplers.register
+class TauL(_SamplerBase):
+    def _corrector_rates(self, model, params, x, t_ones):
+        rate = model.rate(t_ones)
+        rev = self._rev_rates(model, params, x, t_ones)
+        rev = indexing.zero_at(rev, x)
+        transpose_forward = indexing.rows(rate, x)  # R(x, ·) rows
+        corrector = transpose_forward + rev
+        return indexing.zero_at(corrector, x)
+
+    def _sample_loop(self, model, params, key, N):
+        S, D = self.S, self.D
+        k_init, k_scan = jax.random.split(key)
+        x = get_initial_samples(
+            k_init, N, D, S, self.initial_dist, self.initial_dist_std
+        )
+        ts, hs = _time_grid(self.max_t, self.min_t, self.num_steps)
+        keys = jax.random.split(k_scan, self.num_steps)
+
+        def step(x, inp):
+            t, h, k = inp
+            k_jump, k_corr = jax.random.split(k)
+            t_ones = t * jnp.ones((N,), jnp.float32)
+            rev = self._rev_rates(model, params, x, t_ones)
+            rev = rev * indexing.onehot_mask(x, S)
+            x_new = _poisson_jump_update(k_jump, x, rev, h, S, self.is_ordinal)
+            changes = jnp.sum(x != x_new) / N
+
+            if self.num_corrector_steps > 0:
+                def do_corr(x_c):
+                    def body(i, carry):
+                        xc, kc = carry
+                        kc, ku = jax.random.split(kc)
+                        corr = self._corrector_rates(model, params, xc, t_ones)
+                        xc = _poisson_jump_update(
+                            ku, xc, corr, h, S, self.is_ordinal
+                        )
+                        return (xc, kc)
+
+                    out, _ = jax.lax.fori_loop(
+                        0, self.num_corrector_steps, body, (x_c, k_corr)
+                    )
+                    return out
+
+                x_new = jax.lax.cond(
+                    t <= self.corrector_entry_time, do_corr, lambda xc: xc, x_new
+                )
+            return x_new, changes
+
+        x, change_dim = jax.lax.scan(step, x, (ts, hs, keys))
+        if self.loss_name in ("CTElbo", "NLL"):
+            x = _denoise_argmax(model, params, x, self.min_t, N)
+        return x, change_dim
+
+
+# ---------------------------------------------------------------------------
+# LBJF — Euler / locally-balanced jump factorization (sampling.py:237-356)
+# ---------------------------------------------------------------------------
+
+
+@registry.samplers.register
+class LBJF(_SamplerBase):
+    def _sample_loop(self, model, params, key, N):
+        S, D = self.S, self.D
+        k_init, k_scan = jax.random.split(key)
+        x = get_initial_samples(
+            k_init, N, D, S, self.initial_dist, self.initial_dist_std
+        )
+        ts, hs = _time_grid(self.max_t, self.min_t, self.num_steps)
+        keys = jax.random.split(k_scan, self.num_steps)
+
+        def step(x, inp):
+            t, h, k = inp
+            k_cat, k_corr = jax.random.split(k)
+            t_ones = t * jnp.ones((N,), jnp.float32)
+            rev = self._rev_rates(model, params, x, t_ones)
+            x_new = _categorical_euler_update(k_cat, x, rev, h, S)
+            changes = jnp.sum(x != x_new) / N
+
+            if self.num_corrector_steps > 0:
+                rate = model.rate(t_ones)
+
+                def do_corr(x_c):
+                    def body(i, carry):
+                        xc, kc = carry
+                        kc, ku = jax.random.split(kc)
+                        rev_c = self._rev_rates(model, params, xc, t_ones)
+                        transpose_forward = indexing.rows(rate, xc)
+                        corr = indexing.zero_at(rev_c + transpose_forward, xc)
+                        xc = _categorical_euler_update(ku, xc, corr, h, S)
+                        return (xc, kc)
+
+                    out, _ = jax.lax.fori_loop(
+                        0, self.num_corrector_steps, body, (x_c, k_corr)
+                    )
+                    return out
+
+                x_new = jax.lax.cond(
+                    t <= self.corrector_entry_time, do_corr, lambda xc: xc, x_new
+                )
+            return x_new, changes
+
+        x, change_dim = jax.lax.scan(step, x, (ts, hs, keys))
+        if self.loss_name == "CTElbo":
+            x = _denoise_argmax(model, params, x, self.min_t, N)
+        return x, change_dim
+
+
+# ---------------------------------------------------------------------------
+# MidPointTauL — midpoint tau-leaping (sampling.py:359-526)
+# ---------------------------------------------------------------------------
+
+
+@registry.samplers.register
+class MidPointTauL(_SamplerBase):
+    """Midpoint tau-leaping (the thesis' novel sampler, README.md:24).
+
+    state_change[s, x] = s - x — the ordinal difference, matching the
+    hardcoded maze/binary matrices (sampling.py:382-388) and replacing the
+    MNIST .pth artifact (sampling.py:377-380) with the same ordinal rule.
+    """
+
+    def _sample_loop(self, model, params, key, N):
+        S, D = self.S, self.D
+        k_init, k_scan = jax.random.split(key)
+        x = get_initial_samples(
+            k_init, N, D, S, self.initial_dist, self.initial_dist_std
+        )
+        h = (self.max_t - self.min_t) / self.num_steps
+        # while t - h/2 > min_t  (sampling.py:414)
+        n_steps = int(np.ceil((self.max_t - 0.5 * h - self.min_t) / h - 1e-9))
+        ts = jnp.asarray(
+            self.max_t - h * np.arange(n_steps), jnp.float32
+        )
+        keys = jax.random.split(k_scan, n_steps)
+
+        def _state_change(xc):
+            # gathered state-change matrix entry [s, x_d] = s - x_d
+            return (
+                jnp.arange(S, dtype=jnp.float32)[None, None, :]
+                - xc[:, :, None].astype(jnp.float32)
+            )
+
+        def step(x, inp):
+            t, k = inp
+            t_ones = t * jnp.ones((N,), jnp.float32)
+            t_05 = t_ones - 0.5 * h
+
+            # half-step expected drift -> x'
+            rev = self._rev_rates(model, params, x, t_ones)
+            rev = indexing.zero_at(rev, x)
+            change = jnp.round(
+                0.5 * h * jnp.sum(rev * _state_change(x), axis=-1)
+            ).astype(jnp.int32)
+            x_prime = jnp.clip(x + change, 0, S - 1)
+
+            # full step with rates at (x', t - h/2), applied from x
+            rev_p = self._rev_rates(model, params, x_prime, t_05)
+            rev_p = indexing.zero_at(rev_p, x_prime)
+            state_change_p = _state_change(x_prime)
+            flips = jax.random.poisson(k, rev_p * h, dtype=jnp.int32)
+            if not self.is_ordinal:
+                tot = jnp.sum(flips, axis=-1, keepdims=True)
+                flips = flips * (tot <= 1)
+            avg_offset = jnp.sum(
+                flips.astype(jnp.float32) * state_change_p, axis=-1
+            ).astype(jnp.int32)
+            x_new = jnp.clip(x + avg_offset, 0, S - 1)
+            changes = jnp.sum(x != x_new) / (N * D)
+            return x_new, changes
+
+        x, change_dim = jax.lax.scan(step, x, (ts, keys))
+        if self.loss_name == "CTElbo":
+            x = _denoise_argmax(model, params, x, self.min_t, N)
+        return x, change_dim
+
+
+# ---------------------------------------------------------------------------
+# PCTauL — tauLDR predictor-corrector (sampling.py:529-646)
+# ---------------------------------------------------------------------------
+
+
+@registry.samplers.register
+class PCTauL(_SamplerBase):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.rate_param = "p0t"  # original tauLDR scheme
+        # PCTauL hardcodes gaussian std 200 in the reference (sampling.py:548)
+        self.initial_dist_std = 200.0
+
+    def _rates_pair(self, model, params, x, t_ones):
+        rev = self._rev_rates(model, params, x, t_ones)
+        rev = indexing.zero_at(rev, x)
+        rate = model.rate(t_ones)
+        transpose_forward = indexing.rows(rate, x)
+        return transpose_forward, rev
+
+    def _sample_loop(self, model, params, key, N):
+        S, D = self.S, self.D
+        k_init, k_scan = jax.random.split(key)
+        x = get_initial_samples(
+            k_init, N, D, S, self.initial_dist, self.initial_dist_std
+        )
+        h0 = 1.0 / self.num_steps
+        ts = np.linspace(1.0, self.min_t + h0, self.num_steps)
+        hs = ts[:-1] - ts[1:]
+        ts_scan = jnp.asarray(ts[:-1], jnp.float32)
+        hs_scan = jnp.asarray(hs, jnp.float32)
+        keys = jax.random.split(k_scan, len(hs))
+
+        def step(x, inp):
+            t, h, k = inp
+            k_pred, k_corr = jax.random.split(k)
+            t_ones = t * jnp.ones((N,), jnp.float32)
+            _, rev = self._rates_pair(model, params, x, t_ones)
+            x = _poisson_jump_update(k_pred, x, rev, h, S, is_ordinal=True)
+
+            def do_corr(x_c):
+                t_corr = (t - h) * jnp.ones((N,), jnp.float32)
+
+                def body(i, carry):
+                    xc, kc = carry
+                    kc, ku = jax.random.split(kc)
+                    tf, rv = self._rates_pair(model, params, xc, t_corr)
+                    corr = indexing.zero_at(tf + rv, xc)
+                    xc = _poisson_jump_update(
+                        ku, xc, corr, self.corrector_step_size_multiplier * h,
+                        S, is_ordinal=True,
+                    )
+                    return (xc, kc)
+
+                out, _ = jax.lax.fori_loop(
+                    0, self.num_corrector_steps, body, (x_c, k_corr)
+                )
+                return out
+
+            if self.num_corrector_steps > 0:
+                x = jax.lax.cond(
+                    t <= self.corrector_entry_time, do_corr, lambda xc: xc, x
+                )
+            return x, jnp.float32(0.0)
+
+        x, _ = jax.lax.scan(step, x, (ts_scan, hs_scan, keys))
+        x = _denoise_argmax(model, params, x, self.min_t, N)
+        return x, jnp.zeros((1,))
+
+
+# ---------------------------------------------------------------------------
+# Conditional samplers (sampling.py:649-905)
+# ---------------------------------------------------------------------------
+
+
+class _ConditionalBase(_SamplerBase):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.condition_dim = cfg.sampler.condition_dim
+        self.total_D = cfg.data.shape[0]
+        self.sample_D = self.total_D - self.condition_dim
+        self.reject_multiple_jumps = cfg.sampler.get("reject_multiple_jumps", False)
+        if self.initial_dist != "gaussian":
+            self.initial_dist_std = None
+
+    def sample(self, model, params, key, N: int, conditioner=None):
+        assert conditioner is not None and conditioner.shape[0] == N
+        out = self._jitted(model.module, N)(
+            model.process, params, key, jnp.asarray(conditioner)
+        )
+        x, diags = out
+        return np.asarray(jax.device_get(x)).astype(int)
+
+    @functools.lru_cache(maxsize=8)
+    def _jitted(self, module, N):
+        from ctdd_tpu.models.base import DiffusionModel
+
+        def run(process, params, key, conditioner):
+            model = DiffusionModel(module=module, process=process, cfg=self.cfg)
+            return self._sample_loop(model, params, key, N, conditioner)
+
+        return jax.jit(run)
+
+    def _cond_p0t(self, model, params, conditioner, x, t_ones):
+        model_in = jnp.concatenate([conditioner, x], axis=1)
+        logits = model.apply(params, model_in, t_ones)
+        return logits[:, self.condition_dim :, :]
+
+    def _cond_rates(self, model, params, conditioner, x, t_ones):
+        """(transpose_forward, reverse) rates on sampled dims
+        (sampling.py:699-726, 802-856)."""
+        qt0 = model.transition(t_ones)
+        rate = model.rate(t_ones)
+        logits = self._cond_p0t(model, params, conditioner, x, t_ones)
+        p0t = jax.nn.softmax(logits, axis=-1)
+        qt0_denom = indexing.cols(qt0, x) + self.eps_ratio
+        forward_rates = indexing.cols(rate, x)
+        inner = jnp.einsum(
+            "bds,bsk->bdk", p0t / qt0_denom, qt0, preferred_element_type=jnp.float32
+        )
+        rev = indexing.zero_at(forward_rates * inner, x)
+        transpose_forward = indexing.rows(rate, x)
+        return transpose_forward, rev
+
+
+@registry.samplers.register
+class ConditionalTauLeaping(_ConditionalBase):
+    def _sample_loop(self, model, params, key, N, conditioner):
+        S = self.S
+        k_init, k_scan = jax.random.split(key)
+        x = get_initial_samples(
+            k_init, N, self.sample_D, S, self.initial_dist, self.initial_dist_std
+        )
+        ts, hs = _time_grid(1.0, self.min_t, self.num_steps)
+        keys = jax.random.split(k_scan, self.num_steps)
+
+        def step(x, inp):
+            t, h, k = inp
+            t_ones = t * jnp.ones((N,), jnp.float32)
+            _, rev = self._cond_rates(model, params, conditioner, x, t_ones)
+            # NOTE: reference computes the rejection mask but then overwrites
+            # adj_diffs with the unmasked product (sampling.py:734-744) — so
+            # reject_multiple_jumps is a no-op there; we honor the flag.
+            x_new = _poisson_jump_update(
+                k, x, rev, h, S, is_ordinal=not self.reject_multiple_jumps
+            )
+            return x_new, jnp.float32(0.0)
+
+        x, _ = jax.lax.scan(step, x, (ts, hs, keys))
+        t_min = self.min_t * jnp.ones((N,), jnp.float32)
+        p0t = jax.nn.softmax(
+            self._cond_p0t(model, params, conditioner, x, t_min), axis=-1
+        )
+        x0max = jnp.argmax(p0t, axis=-1)
+        return jnp.concatenate([conditioner, x0max], axis=1), jnp.zeros((1,))
+
+
+@registry.samplers.register
+class ConditionalPCTauLeaping(_ConditionalBase):
+    def _sample_loop(self, model, params, key, N, conditioner):
+        S = self.S
+        k_init, k_scan = jax.random.split(key)
+        x = get_initial_samples(
+            k_init, N, self.sample_D, S, self.initial_dist, self.initial_dist_std
+        )
+        h0 = 1.0 / self.num_steps
+        ts = np.linspace(1.0, self.min_t + h0, self.num_steps)
+        hs = ts[:-1] - ts[1:]
+        keys = jax.random.split(k_scan, len(hs))
+
+        def step(x, inp):
+            t, h, k = inp
+            k_pred, k_corr = jax.random.split(k)
+            t_ones = t * jnp.ones((N,), jnp.float32)
+            _, rev = self._cond_rates(model, params, conditioner, x, t_ones)
+            x = _poisson_jump_update(
+                k_pred, x, rev, h, S, is_ordinal=not self.reject_multiple_jumps
+            )
+
+            def do_corr(x_c):
+                t_corr = (t - h) * jnp.ones((N,), jnp.float32)
+
+                def body(i, carry):
+                    xc, kc = carry
+                    kc, ku = jax.random.split(kc)
+                    tf, rv = self._cond_rates(model, params, conditioner, xc, t_corr)
+                    corr = indexing.zero_at(tf + rv, xc)
+                    xc = _poisson_jump_update(
+                        ku, xc, corr, self.corrector_step_size_multiplier * h,
+                        S, is_ordinal=not self.reject_multiple_jumps,
+                    )
+                    return (xc, kc)
+
+                out, _ = jax.lax.fori_loop(
+                    0, self.num_corrector_steps, body, (x_c, k_corr)
+                )
+                return out
+
+            if self.num_corrector_steps > 0:
+                x = jax.lax.cond(
+                    t <= self.corrector_entry_time, do_corr, lambda xc: xc, x
+                )
+            return x, jnp.float32(0.0)
+
+        x, _ = jax.lax.scan(step, x, (jnp.asarray(ts[:-1], jnp.float32),
+                                      jnp.asarray(hs, jnp.float32), keys))
+        t_min = self.min_t * jnp.ones((N,), jnp.float32)
+        p0t = jax.nn.softmax(
+            self._cond_p0t(model, params, conditioner, x, t_min), axis=-1
+        )
+        x0max = jnp.argmax(p0t, axis=-1)
+        return jnp.concatenate([conditioner, x0max], axis=1), jnp.zeros((1,))
+
+
+# ---------------------------------------------------------------------------
+# ExactSampling (sampling.py:975-1061)
+# ---------------------------------------------------------------------------
+
+
+@registry.samplers.register
+class ExactSampling(_SamplerBase):
+    """Exact reverse-CTMC ancestral step via q_{t-h|0} and q_{t|t-h}.
+
+    The reference materializes an (N, D, S, S) tensor and logsumexps it
+    (sampling.py:1047-1052). We use the factorization
+        p(x_{t-h}=k | x_t) ∝ (p0t @ q_{t-h|0})[k] · q_{t|t-h}(x_t | k)
+    — one (N,D,S)x(N,S,S) MXU matmul plus a column gather, S× less memory.
+    """
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.log_prob_kind = cfg.model.get("log_prob", "cat")
+
+    def _logits(self, model, params, x, t_ones, N):
+        if self.log_prob_kind == "ebm":
+            from ctdd_tpu.losses.losses import ebm_all_mutation_logits
+
+            return ebm_all_mutation_logits(model, params, x, t_ones, self.S)
+        if self.log_prob_kind == "bin_ebm":
+            from ctdd_tpu.losses.losses import bin_ebm_flip_logits
+
+            return bin_ebm_flip_logits(model, params, x, t_ones)
+        return model.apply(params, x, t_ones)
+
+    def _sample_loop(self, model, params, key, N):
+        S = self.S
+        k_init, k_scan = jax.random.split(key)
+        x = get_initial_samples(
+            k_init, N, self.D, S, self.initial_dist, self.initial_dist_std
+        )
+        ts, hs = _time_grid(self.max_t, self.min_t, self.num_steps)
+        keys = jax.random.split(k_scan, self.num_steps)
+
+        def step(x, inp):
+            t, h, k = inp
+            t_ones = t * jnp.ones((N,), jnp.float32)
+            t_eps = t_ones - h
+            logits = self._logits(model, params, x, t_ones, N)
+            p0t = jax.nn.softmax(logits, axis=-1)  # (N, D, S)
+
+            q_teps_0 = model.transition(t_eps)  # (N, S, S)
+            q_t_teps = model.transit_between(t_eps, t_ones)  # (N, S, S)
+            # q_{t|t-h}(x_t | k) as a function of k, per dim:
+            trans_cols = indexing.cols(q_t_teps, x)  # (N, D, S)
+            marg = jnp.einsum(
+                "bds,bsk->bdk", p0t, q_teps_0, preferred_element_type=jnp.float32
+            )
+            log_prob = safe_log(marg) + safe_log(trans_cols)
+            x_new = jax.random.categorical(k, log_prob, axis=-1)
+            changes = jnp.sum(x_new != x) / (N * self.D)
+            return x_new, changes
+
+        x, change_jump = jax.lax.scan(step, x, (ts, hs, keys))
+        return x, change_jump
+
+
+def lbjf_corrector_step(cfg, model, params, key, xt, t, h, N, xt_target=None):
+    """Standalone LBJF corrector kernel (sampling.py:1064-1085)."""
+    if xt_target is None:
+        xt_target = xt
+    S = cfg.data.S
+    t_ones = t * jnp.ones((N,), jnp.float32)
+    logits = model.apply(params, xt, t_ones)
+    ll_all, ll_xt = logprob_with_logits(
+        cfg.loss.get("logit_type", "direct"), model.process, xt, t_ones, logits
+    )
+    log_weight = ll_all - ll_xt[..., None]
+    fwd_rate = model.rate_mat(xt, t_ones)
+    xt_onehot = jax.nn.one_hot(xt_target, S)
+    posterior = h * (jnp.exp(log_weight) * fwd_rate + fwd_rate)
+    off_diag_post = posterior * (1.0 - xt_onehot)
+    off_diag = jnp.sum(off_diag_post, axis=-1, keepdims=True)
+    diag = jnp.clip(1.0 - off_diag, 0.0, None)
+    posterior = off_diag_post + diag * xt_onehot
+    posterior = posterior / jnp.sum(posterior, axis=-1, keepdims=True)
+    return jax.random.categorical(key, jnp.log(posterior + 1e-35), axis=-1)

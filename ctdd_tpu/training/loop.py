@@ -1,0 +1,109 @@
+"""The training loop driver.
+
+Counterpart of the reference's per-script `main()` loops (train_image.py:99-150
+et al.): iterate batches -> jitted (data-parallel) train step -> periodic
+checkpoint + sample grid + loss logging, with preemption-safe checkpointing.
+One loop serves every dataset family; the config picks the pieces.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctdd_tpu.config.base import save_config
+from ctdd_tpu.data.loaders import get_dataset, iterate_batches
+from ctdd_tpu.losses.losses import get_loss
+from ctdd_tpu.models.base import create_model
+from ctdd_tpu.parallel.dp import make_dp_train_step
+from ctdd_tpu.parallel.mesh import make_mesh, shard_batch
+from ctdd_tpu.sampling.samplers import get_sampler
+from ctdd_tpu.training.optimizers import get_optimizer
+from ctdd_tpu.training.state import create_train_state
+from ctdd_tpu.utils import bookkeeping
+
+
+def train(
+    cfg,
+    *,
+    n_iters: Optional[int] = None,
+    seed: int = 0,
+    resume_from: Optional[str] = None,
+    writer_kind: str = "tensorboard",
+    mesh=None,
+    log_every: int = 100,
+):
+    """Run training; returns (state, run_paths)."""
+    n_iters = n_iters if n_iters is not None else cfg.training.n_iters
+    mesh = mesh if mesh is not None else make_mesh()
+
+    paths = bookkeeping.create_experiment_folder(
+        cfg.save_location, cfg.experiment_name
+    )
+    save_config(cfg, os.path.join(paths["config"], "config.yaml"))
+    writer = bookkeeping.setup_writer(writer_kind, paths["root"])
+    ckpt = bookkeeping.CheckpointManager(paths["checkpoints"])
+
+    model = create_model(cfg)
+    loss = get_loss(cfg)
+    tx = get_optimizer(cfg)
+
+    dataset = get_dataset(cfg)
+    batches = iterate_batches(
+        dataset, cfg.data.batch_size, shuffle=cfg.data.get("shuffle", True),
+        seed=seed,
+    )
+
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+    first_batch, first_label = next(batches)
+    x0 = jnp.asarray(first_batch)
+    if x0.ndim == 4:
+        x0 = x0.reshape(x0.shape[0], -1)
+    t0 = jnp.ones((x0.shape[0],), jnp.float32) * 0.5
+    params = model.init(k_init, x0[:2], t0[:2])
+    state = create_train_state(params, tx)
+
+    if resume_from is not None:
+        mgr = bookkeeping.CheckpointManager(resume_from)
+        state = mgr.restore(state)
+
+    step_fn = make_dp_train_step(
+        model, loss, tx, mesh,
+        ema_decay=float(cfg.model.get("ema_decay", 0.0)),
+        has_label=False,
+    )
+
+    preempt = bookkeeping.PreemptionHandler(paths["root"])
+    preempt.set_save_fn(lambda: ckpt.save(int(state.step), state, force=True))
+    preempt.install()
+
+    checkpoint_freq = cfg.saving.get("checkpoint_freq", 10000)
+    losses = []
+    t_start = time.time()
+    n_start = int(state.step)
+    for it in range(n_start, n_iters):
+        batch, label = next(batches)
+        batch = shard_batch(np.asarray(batch), mesh)
+        key, sub = jax.random.split(key)
+        state, l = step_fn(state, batch, sub)
+        if (it + 1) % log_every == 0:
+            lv = float(l)
+            losses.append(lv)
+            writer.add_scalar("loss", lv, it + 1)
+        if (it + 1) % checkpoint_freq == 0:
+            ckpt.save(it + 1, state)
+    elapsed = time.time() - t_start
+    ckpt.save(n_iters, state, force=True)
+    writer.flush()
+    return state, {
+        "paths": paths,
+        "losses": losses,
+        "steps_per_sec": (n_iters - n_start) / max(elapsed, 1e-9),
+        "model": model,
+    }

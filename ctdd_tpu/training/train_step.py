@@ -1,0 +1,97 @@
+"""The jitted training step.
+
+Counterpart of reference lib/training/training.py:7-40 (`Standard.step`):
+loss -> nan/inf guard (1e9 sentinel, step skipped) -> grad clip -> warmup lr
+-> Adam -> EMA update. Here the whole step — including the loss' categorical
+sampling and the network fwd/bwd — is one compiled XLA program, and the
+data-parallel version (ctdd_tpu.parallel) wraps this same function in
+shard_map with a psum gradient reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ctdd_tpu import registry
+from ctdd_tpu.training.state import TrainState
+
+NAN_SENTINEL = 1e9  # reference training.py:24
+
+
+def make_train_step(
+    model,
+    loss,
+    tx: optax.GradientTransformation,
+    ema_decay: float = 0.0,
+    donate: bool = True,
+) -> Callable:
+    """Build `step(state, batch, key, label=None) -> (state, loss)` (jitted)."""
+
+    def loss_fn(params, batch, key, label, n_iter):
+        k_loss, k_dropout = jax.random.split(key)
+        return loss.calc_loss(
+            model,
+            params,
+            k_loss,
+            batch,
+            label=label,
+            n_iter=n_iter,
+            train=True,
+            rngs={"dropout": k_dropout},
+        )
+
+    def step(state: TrainState, batch, key, label=None):
+        l, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, key, label, state.step
+        )
+        # nan/inf guard: skip the update, surface the sentinel (training.py:22-26)
+        ok = jnp.isfinite(l)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_params, state.params
+        )
+        new_opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state
+        )
+        if ema_decay > 0.0:
+            tmp = state.replace(params=new_params)
+            ema, n_updates = tmp.ema_update(new_params, ema_decay)
+            ema = jax.tree.map(lambda n, o: jnp.where(ok, n, o), ema, state.ema_params)
+            n_updates = jnp.where(ok, n_updates, state.ema_num_updates)
+        else:
+            ema, n_updates = state.ema_params, state.ema_num_updates
+        new_state = TrainState(
+            params=new_params,
+            ema_params=ema,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            ema_num_updates=n_updates,
+        )
+        out_loss = jnp.where(ok, l, NAN_SENTINEL)
+        return new_state, out_loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+@registry.train_steps.register
+class Standard:
+    """Registry wrapper so cfg.training.train_step_name resolves like the
+    reference's _TRAINSTEPS registry (training_utils.py:1-11)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def build(self, model, loss, tx):
+        return make_train_step(
+            model, loss, tx, ema_decay=float(self.cfg.model.get("ema_decay", 0.0))
+        )
+
+
+def get_train_step(cfg):
+    return registry.train_steps.get(cfg.training.train_step_name)(cfg)
