@@ -1,0 +1,108 @@
+"""Benchmark harness: MNIST flagship throughput on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: MNIST tau-leaping sampler throughput (samples/sec/chip,
+1000-step protocol, the reference's headline sampling setup:
+GaussianTargetRateImageX0PredEMAPaul, S=256, D=784, TauL — BASELINE.md).
+vs_baseline compares against the reference code measured on torch-CPU on
+this machine (scripts/measure_torch_baseline.py); the reference publishes
+no speed numbers of its own (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Reference-code-on-torch-CPU numbers measured on this box via
+# scripts/measure_torch_baseline.py (see BASELINE.md "measured" section).
+TORCH_CPU_SAMPLES_PER_SEC = None  # filled from BASELINE.md constants below
+try:
+    from scripts.baseline_constants import (
+        TORCH_CPU_SAMPLES_PER_SEC,
+        TORCH_CPU_TRAIN_STEPS_PER_SEC,
+    )
+except Exception:
+    TORCH_CPU_SAMPLES_PER_SEC = None
+    TORCH_CPU_TRAIN_STEPS_PER_SEC = None
+
+
+def main():
+    from ctdd_tpu.config.presets import get_preset
+    from ctdd_tpu.losses.losses import get_loss
+    from ctdd_tpu.models.base import create_model
+    from ctdd_tpu.sampling.samplers import get_sampler
+    from ctdd_tpu.training.optimizers import get_optimizer
+    from ctdd_tpu.training.state import create_train_state
+    from ctdd_tpu.training.train_step import make_train_step
+
+    cfg = get_preset("tauUnet_mnist")
+    N_SAMPLE = 16
+    model = create_model(cfg)
+    D = cfg.model.concat_dim
+    x = jnp.zeros((2, D), jnp.int32)
+    t = jnp.full((2,), 0.5, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, t)
+
+    # --- sampler throughput (1000 steps, TauL) ------------------------------
+    sampler = get_sampler(cfg)
+    key = jax.random.PRNGKey(0)
+    sampler.sample(model, params, key, N=N_SAMPLE)  # compile + warmup
+    t0 = time.time()
+    n_runs = 3
+    for i in range(n_runs):
+        sampler.sample(model, params, jax.random.PRNGKey(i + 1), N=N_SAMPLE)
+    dt = (time.time() - t0) / n_runs
+    samples_per_sec = N_SAMPLE / dt
+
+    # --- train step throughput (CTElbo, B=64) -------------------------------
+    loss = get_loss(cfg)
+    tx = get_optimizer(cfg)
+    state = create_train_state(params, tx)
+    step = make_train_step(
+        model, loss, tx, ema_decay=float(cfg.model.ema_decay), donate=False
+    )
+    batch = jax.random.randint(
+        jax.random.PRNGKey(9), (cfg.data.batch_size, D), 0, cfg.data.S
+    )
+    state, _ = step(state, batch, jax.random.PRNGKey(10))  # compile
+    n_train = 10
+    t0 = time.time()
+    for i in range(n_train):
+        state, l = step(state, batch, jax.random.PRNGKey(11 + i))
+    jax.block_until_ready(l)
+    train_steps_per_sec = n_train / (time.time() - t0)
+
+    vs_baseline = (
+        samples_per_sec / TORCH_CPU_SAMPLES_PER_SEC
+        if TORCH_CPU_SAMPLES_PER_SEC
+        else None
+    )
+    out = {
+        "metric": "mnist_taul_samples_per_sec",
+        "value": round(samples_per_sec, 4),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "extras": {
+            "sampler_steps": int(cfg.sampler.num_steps),
+            "sample_batch": N_SAMPLE,
+            "ctelbo_train_steps_per_sec": round(train_steps_per_sec, 4),
+            "train_batch": int(cfg.data.batch_size),
+            "train_vs_baseline": (
+                round(train_steps_per_sec / TORCH_CPU_TRAIN_STEPS_PER_SEC, 2)
+                if TORCH_CPU_TRAIN_STEPS_PER_SEC
+                else None
+            ),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
