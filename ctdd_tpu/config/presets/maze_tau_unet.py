@@ -1,0 +1,41 @@
+"""Maze 3-state + padded UNet + CTElbo + TauL.
+
+Mirrors reference config/maze_config/config_tauUnet_maze.py. The reference's
+sampler name "ElboTauL" is unregistered there; the functioning equivalent is
+TauL on the CTElbo rate path.
+"""
+
+import ml_collections
+
+from ctdd_tpu.config.presets._base import (
+    adam, base_config, loss_section, sampler_section, saving_section,
+    training_section,
+)
+
+
+def get_config():
+    config = base_config("maze_unet")
+    loss_section(config, name="CTElbo", nll_weight=0.001, min_time=0.001)
+    training_section(config, n_iters=500000, grad_norm=1.0, max_t=1.0)
+    config.data = ml_collections.ConfigDict(
+        dict(
+            name="Maze3S", train=True, download=False, S=3, batch_size=64,
+            shuffle=True, image_size=15, shape=[1, 15, 15], use_augm=False,
+            crop_wall=False, limit=1, random_transform=True, num_samples=6400,
+        )
+    )
+    config.model = ml_collections.ConfigDict(
+        dict(
+            name="UniVarUnetEMA", ema_decay=0.9999, padding=True, ch=64,
+            num_res_blocks=3, ch_mult=[1, 2, 2], input_channels=1,
+            scale_count_to_put_attn=1, data_min_max=[0, 2], dropout=0.1,
+            skip_rescale=True, time_embed_dim=64, time_scale_factor=1000,
+            fix_logistic=False, model_output="logits", num_heads=8,
+            attn_resolutions=[32], concat_dim=225, rate_const=2.0,
+            t_func="log_sqr", Q_sigma=512.0, image_size=15,
+        )
+    )
+    adam(config, 2e-4)
+    saving_section(config)
+    sampler_section(config, name="TauL", num_steps=1000, is_ordinal=False)
+    return config

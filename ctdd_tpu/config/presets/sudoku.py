@@ -1,0 +1,38 @@
+"""Sudoku + DDSM score net + CTElbo + TauL
+(ref config/sudoku_config/config_sudoku_unet.py).
+
+Shape note: the reference wires concat_dim = 81·9 against a (B, 81, 9) net
+output, which its losses cannot consume (SURVEY.md §2.2 caveat); the coherent
+form used here is 81 cells × 9 states.
+"""
+
+import ml_collections
+
+from ctdd_tpu.config.presets._base import (
+    adam, base_config, loss_section, sampler_section, saving_section,
+    training_section,
+)
+
+
+def get_config():
+    config = base_config("sudoku")
+    loss_section(config, name="CTElbo", nll_weight=0.001, min_time=0.001)
+    training_section(config, n_iters=400000, grad_norm=2.0, max_t=0.99)
+    config.data = ml_collections.ConfigDict(
+        dict(
+            name="SudokuDataset", train=True, download=False, S=9,
+            batch_size=128, shuffle=True, shape=[81], num_samples=12800,
+            seed=0,
+        )
+    )
+    config.model = ml_collections.ConfigDict(
+        dict(
+            name="UniVarScoreNetEMA", padding=False, ema_decay=0.9999,
+            embed_dim=256, rate_const=0.35, t_func="sqrt_cos", Q_sigma=512.0,
+            concat_dim=81, time_scale_factor=1000, log_prob="cat",
+        )
+    )
+    adam(config, 1.5e-4)
+    saving_section(config)
+    sampler_section(config, name="TauL", num_steps=1000, is_ordinal=True)
+    return config
