@@ -149,8 +149,22 @@ def maze_gen(
     weight_high: float = 99,
     weight_low: float = 97,
     seed: Optional[int] = None,
+    use_native: bool = True,
 ) -> np.ndarray:
-    """(limit, 1, 15, 15) solved mazes in {0,1,2} (maze.py:821-858)."""
+    """(limit, 1, 15, 15) solved mazes in {0,1,2} (maze.py:821-858).
+
+    Prefers the C++ generator (native/datagen.cpp, ~150x the python path);
+    falls back to the python implementation below when the .so is absent.
+    """
+    if use_native:
+        from ctdd_tpu.data.native import maze_gen_native
+
+        out = maze_gen_native(
+            limit, dim_x, dim_y, weight_high, weight_low, random_transform,
+            seed=seed or 0,
+        )
+        if out is not None:
+            return out
     rng = np.random.RandomState(seed)
     out = []
     while len(out) < limit:

@@ -56,8 +56,17 @@ def construct_puzzle_solution(rng: random.Random):
             pass
 
 
-def gen_sudoku(num: int, seed: Optional[int] = None) -> np.ndarray:
-    """`num` solved boards (num, 9, 9) in 1..9 (ref :97-105)."""
+def gen_sudoku(num: int, seed: Optional[int] = None, use_native: bool = True) -> np.ndarray:
+    """`num` solved boards (num, 9, 9) in 1..9 (ref :97-105).
+
+    Prefers the C++ generator (native/datagen.cpp); python fallback below.
+    """
+    if use_native:
+        from ctdd_tpu.data.native import sudoku_gen_native
+
+        out = sudoku_gen_native(num, seed=seed or 0)
+        if out is not None:
+            return out.reshape(num, 9, 9) + 1
     rng = random.Random(seed)
     out = np.zeros((num, 9, 9), np.int32)
     for i in range(num):

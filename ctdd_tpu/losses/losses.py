@@ -92,15 +92,24 @@ def sample_xt_xtilde(
 # ---------------------------------------------------------------------------
 
 
-def _ctelbo_terms(model, params, key, x0, ts, eps, one_forward_pass, train, rngs):
-    """neg_elbo (scalar) and the training-pass logits (ref losses.py:106-282)."""
+def _ctelbo_terms(model, params, key, x0, ts, eps, one_forward_pass, train, rngs,
+                  samples=None):
+    """neg_elbo (scalar) and the training-pass logits (ref losses.py:106-282).
+
+    `samples` optionally injects (x_t, x_tilde) — used by the golden tests to
+    pin the deterministic ELBO arithmetic against an independent dense
+    implementation (SURVEY.md §4b).
+    """
     B, D = x0.shape
     qt0 = model.transition(ts)  # (B, S, S)
     rate = model.rate(ts)  # (B, S, S)
     S = qt0.shape[-1]
 
-    k_sample, k_net = jax.random.split(key)
-    x_t, x_tilde = sample_xt_xtilde(k_sample, qt0, rate, x0)
+    if samples is None:
+        k_sample, k_net = jax.random.split(key)
+        x_t, x_tilde = sample_xt_xtilde(k_sample, qt0, rate, x0)
+    else:
+        x_t, x_tilde = samples
 
     # -- regularizer term (losses.py:106-153) -------------------------------
     if one_forward_pass:
