@@ -9,6 +9,13 @@ VMEM per (batch, D-tile) grid cell and feeds the MXU directly.
 
 All kernels fall back to plain XLA (`*_xla`) on non-TPU backends and are
 validated against those references in tests (interpret mode on CPU).
+
+Measured on one v5e chip at the MNIST flagship size (N=16, D=784, S=256):
+XLA-fused 0.018 ms vs this kernel 0.053 ms per call — XLA's bf16 MXU passes
+beat the f32 `jnp.dot` here, and the whole op is <1% of a sampler step (the
+UNet forward dominates). The samplers therefore default to the XLA path;
+these kernels are the validated template for when S/D grow past what XLA
+fuses well, and they are the higher-precision option (f32 accumulation).
 """
 
 from __future__ import annotations

@@ -37,6 +37,7 @@ def train(
     writer_kind: str = "tensorboard",
     mesh=None,
     log_every: int = 100,
+    profile_steps: Optional[tuple] = None,
 ):
     """Run training; returns (state, run_paths)."""
     n_iters = n_iters if n_iters is not None else cfg.training.n_iters
@@ -88,10 +89,17 @@ def train(
     t_start = time.time()
     n_start = int(state.step)
     for it in range(n_start, n_iters):
+        # profiling window (SURVEY.md §5: jax.profiler replaces the
+        # reference's vestigial torch profiler imports)
+        if profile_steps and it == profile_steps[0]:
+            jax.profiler.start_trace(os.path.join(paths["root"], "profile"))
         batch, label = next(batches)
         batch = shard_batch(np.asarray(batch), mesh)
         key, sub = jax.random.split(key)
         state, l = step_fn(state, batch, sub)
+        if profile_steps and it == profile_steps[1]:
+            jax.block_until_ready(l)
+            jax.profiler.stop_trace()
         if (it + 1) % log_every == 0:
             lv = float(l)
             losses.append(lv)
