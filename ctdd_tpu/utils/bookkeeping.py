@@ -55,6 +55,8 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, force: bool = False) -> None:
+        if self.manager.latest_step() == step:
+            return  # already checkpointed at this step (idempotent save)
         self.manager.save(step, args=ocp.args.StandardSave(state), force=force)
         self.manager.wait_until_finished()
 
