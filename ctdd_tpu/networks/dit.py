@@ -220,6 +220,27 @@ class DiT(nn.Module):
         return nn.Conv(out_ch, (3, 3), padding="SAME", kernel_init=xavier)(h)
 
 
+def forward_with_cfg(apply_fn, params, x, t, y, cfg_scale: float,
+                     guided_channels: int = 3):
+    """Classifier-free guidance forward (ref dit.py:486-505).
+
+    The first half of the batch carries the conditional inputs; the second
+    half repeats them and is scored with dropped labels upstream. Like the
+    reference, guidance is applied to the first `guided_channels` output
+    channels only (its "exact reproducibility" convention).
+    """
+    import jax.numpy as jnp
+
+    half = x[: len(x) // 2]
+    combined = jnp.concatenate([half, half], axis=0)
+    out = apply_fn(params, combined, t, y)
+    eps, rest = out[:, :guided_channels], out[:, guided_channels:]
+    cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+    half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+    eps = jnp.concatenate([half_eps, half_eps], axis=0)
+    return jnp.concatenate([eps, rest], axis=1)
+
+
 class DiTWrapper(nn.Module):
     """models.py:128-189 (DiTModel): centers input, logits or logistic head,
     returns (B, D, S)."""

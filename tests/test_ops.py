@@ -50,7 +50,7 @@ def test_log1mexp():
     x = jnp.array([0.1, 1.0, 5.0, 20.0])
     got = np.asarray(umath.log1mexp(-x))  # accepts negative log-probs
     want = np.log(1 - np.exp(-np.asarray(x)))
-    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
 
 
 def test_logprob_direct_vs_reverse_consistency():
