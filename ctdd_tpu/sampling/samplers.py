@@ -164,6 +164,12 @@ class _SamplerBase:
         self.loss_name = cfg.loss.name
         self.rate_param = rate_param_from_loss(self.loss_name)
         self.logit_type = cfg.loss.get("logit_type", "direct")
+        # static dead-branch elimination: when the corrector can never fire
+        # (entry time below the time grid), don't trace it at all — the
+        # reference configs ship corrector_entry_time=0.0 with
+        # num_corrector_steps=10, i.e. a corrector that never runs
+        if self.corrector_entry_time < self.min_t:
+            self.num_corrector_steps = 0
 
     def _rev_rates(self, model, params, x, t_ones):
         logits = model.apply(params, x, t_ones)

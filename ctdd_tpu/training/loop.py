@@ -28,6 +28,27 @@ from ctdd_tpu.training.state import create_train_state
 from ctdd_tpu.utils import bookkeeping
 
 
+def _save_sample_grid(cfg, model, state, sampler, writer, png_dir, step,
+                      n_samples: int = 16):
+    """Sample with EMA weights, save a PNG grid (train_image.py:123-145)."""
+    out = sampler.sample(
+        model, state.ema_params, jax.random.PRNGKey(step), N=n_samples
+    )
+    samples = out[0] if isinstance(out, tuple) else out
+    shape = cfg.data.get("shape", None)
+    if shape is not None and len(shape) == 3:
+        from ctdd_tpu.loggers.loggers import sample_grid_figure
+
+        fig = sample_grid_figure(samples, shape)
+        fig.savefig(os.path.join(png_dir, f"samples_{step}.png"))
+        writer.add_figure("samples", fig, step)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+    else:
+        np.save(os.path.join(png_dir, f"samples_{step}.npy"), samples)
+
+
 def train(
     cfg,
     *,
@@ -85,6 +106,8 @@ def train(
     preempt.install()
 
     checkpoint_freq = cfg.saving.get("checkpoint_freq", 10000)
+    sample_freq = cfg.sampler.get("sample_freq", 0)
+    sampler = get_sampler(cfg) if sample_freq and sample_freq <= n_iters else None
     losses = []
     t_start = time.time()
     n_start = int(state.step)
@@ -106,6 +129,11 @@ def train(
             writer.add_scalar("loss", lv, it + 1)
         if (it + 1) % checkpoint_freq == 0:
             ckpt.save(it + 1, state)
+        # periodic sample grids with EMA weights (train_image.py:123-145)
+        if sampler is not None and (it + 1) % sample_freq == 0:
+            _save_sample_grid(
+                cfg, model, state, sampler, writer, paths["pngs"], it + 1
+            )
     elapsed = time.time() - t_start
     ckpt.save(n_iters, state, force=True)
     writer.flush()
