@@ -27,7 +27,7 @@ def vs_init(scale: float = 1.0):
     return nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
 
 
-def conv3x3(features, scale=1.0, stride=1, name=None):
+def conv3x3(features, scale=1.0, stride=1, name=None, dtype=None):
     return nn.Conv(
         features,
         (3, 3),
@@ -35,6 +35,7 @@ def conv3x3(features, scale=1.0, stride=1, name=None):
         padding="SAME" if stride == 1 else "VALID",
         kernel_init=vs_init(scale),
         bias_init=nn.initializers.zeros,
+        dtype=dtype,
         name=name,
     )
 
@@ -62,20 +63,21 @@ class ResBlock(nn.Module):
     out_ch: int
     time_dim: int
     dropout: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, train: bool = False):
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6)(x)
-        h = conv3x3(self.out_ch)(nn.swish(h))
-        h = h + nn.Dense(self.out_ch, kernel_init=vs_init())(nn.swish(temb))[
-            :, None, None, :
-        ]
+        h = conv3x3(self.out_ch, dtype=self.dtype)(nn.swish(h))
+        h = h + nn.Dense(
+            self.out_ch, kernel_init=vs_init(), dtype=self.dtype
+        )(nn.swish(temb))[:, None, None, :]
         h = nn.GroupNorm(num_groups=min(self.out_ch // 4, 32), epsilon=1e-6)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(nn.swish(h))
-        h = conv3x3(self.out_ch, scale=1e-10)(h)
+        h = conv3x3(self.out_ch, scale=1e-10, dtype=self.dtype)(h)
         if in_ch != self.out_ch:
-            x = nn.Dense(self.out_ch, kernel_init=vs_init())(x)
+            x = nn.Dense(self.out_ch, kernel_init=vs_init(), dtype=self.dtype)(x)
         return h + x
 
 
@@ -83,13 +85,14 @@ class SelfAttention(nn.Module):
     """Spatial QKV attention with zero-init output proj (ref unet.py:152-200)."""
 
     n_head: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = nn.GroupNorm(num_groups=min(C // 4, 32))(x)
-        h = h.reshape(B, H * W, C)
-        qkv = nn.Dense(3 * C, kernel_init=vs_init())(h)  # fused qkv projection
+        h = h.reshape(B, H * W, C).astype(self.dtype)
+        qkv = nn.Dense(3 * C, kernel_init=vs_init(), dtype=self.dtype)(h)
         qkv = qkv.reshape(B, H * W, self.n_head, 3 * (C // self.n_head))
         q, k, v = jnp.split(qkv, 3, axis=-1)
         ch = C // self.n_head
@@ -100,28 +103,32 @@ class SelfAttention(nn.Module):
         )
         w = jax.nn.softmax(w, axis=-1)
         out = jnp.einsum("bhts,bshc->bthc", w, v)
-        out = out.reshape(B, H * W, C)
-        out = nn.Dense(C, kernel_init=nn.initializers.zeros)(out)
-        return x + out.reshape(B, H, W, C)
+        out = out.reshape(B, H * W, C).astype(self.dtype)
+        out = nn.Dense(C, kernel_init=nn.initializers.zeros, dtype=self.dtype)(out)
+        return x + out.reshape(B, H, W, C).astype(x.dtype)
 
 
 class Downsample(nn.Module):
     """Pad (0,1,0,1) + stride-2 conv (ref unet.py:89-97)."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x):
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return conv3x3(x.shape[-1], stride=2)(x)
+        return conv3x3(x.shape[-1], stride=2, dtype=self.dtype)(x)
 
 
 class Upsample(nn.Module):
     """Nearest 2x + conv (ref unet.py:79-86)."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
-        return conv3x3(C)(x)
+        return conv3x3(C, dtype=self.dtype)(x)
 
 
 class UNet(nn.Module):
@@ -140,48 +147,57 @@ class UNet(nn.Module):
     num_classes: int
     x_min_max: Sequence[float]
     img_size: int
+    dtype: jnp.dtype = jnp.float32  # bfloat16 = MXU fast path; heads stay f32
 
     @nn.compact
     def __call__(self, x, t, train: bool = False):
         S = self.num_classes
+        dt = self.dtype
         time_dim = self.channel * 4
         attn_strides = [self.img_size // int(r) for r in self.attn_resolutions]
 
         temb = TimeEmbedding(self.channel)(t)
-        temb = nn.Dense(time_dim, kernel_init=vs_init())(temb)
-        temb = nn.Dense(time_dim, kernel_init=vs_init())(nn.swish(temb))
+        temb = nn.Dense(time_dim, kernel_init=vs_init(), dtype=dt)(temb)
+        temb = nn.Dense(time_dim, kernel_init=vs_init(), dtype=dt)(nn.swish(temb))
 
         B, H, W, C = x.shape
         hid = inp = center_data(x, self.x_min_max)
-        hid = conv3x3(self.channel)(hid)
+        hid = conv3x3(self.channel, dtype=dt)(hid.astype(dt))
         feats = [hid]
         n_block = len(self.channel_multiplier)
         for i in range(n_block):
             for _ in range(self.n_res_blocks):
                 ch = self.channel * self.channel_multiplier[i]
-                hid = ResBlock(ch, time_dim, self.dropout)(hid, temb, train)
+                hid = ResBlock(ch, time_dim, self.dropout, dtype=dt)(
+                    hid, temb, train
+                )
                 if 2**i in attn_strides:
-                    hid = SelfAttention(self.num_heads)(hid)
+                    hid = SelfAttention(self.num_heads, dtype=dt)(hid)
                 feats.append(hid)
             if i != n_block - 1:
-                hid = Downsample()(hid)
+                hid = Downsample(dtype=dt)(hid)
                 feats.append(hid)
 
-        hid = ResBlock(hid.shape[-1], time_dim, self.dropout)(hid, temb, train)
-        hid = SelfAttention(self.num_heads)(hid)
-        hid = ResBlock(hid.shape[-1], time_dim, self.dropout)(hid, temb, train)
+        hid = ResBlock(hid.shape[-1], time_dim, self.dropout, dtype=dt)(
+            hid, temb, train
+        )
+        hid = SelfAttention(self.num_heads, dtype=dt)(hid)
+        hid = ResBlock(hid.shape[-1], time_dim, self.dropout, dtype=dt)(
+            hid, temb, train
+        )
 
         for i in reversed(range(n_block)):
             for _ in range(self.n_res_blocks + 1):
                 ch = self.channel * self.channel_multiplier[i]
-                hid = ResBlock(ch, time_dim, self.dropout)(
+                hid = ResBlock(ch, time_dim, self.dropout, dtype=dt)(
                     jnp.concatenate([hid, feats.pop()], axis=-1), temb, train
                 )
                 if 2**i in attn_strides:
-                    hid = SelfAttention(self.num_heads)(hid)
+                    hid = SelfAttention(self.num_heads, dtype=dt)(hid)
             if i != 0:
-                hid = Upsample()(hid)
+                hid = Upsample(dtype=dt)(hid)
 
+        hid = hid.astype(jnp.float32)
         hid = nn.GroupNorm(num_groups=min(hid.shape[-1] // 4, 32), epsilon=1e-6)(hid)
         if self.model_output == "logistic_pars":
             out = conv3x3(self.out_channel * 2, scale=1e-10)(nn.swish(hid))
@@ -230,6 +246,9 @@ class UNetWrapper(nn.Module):
             num_classes=S,
             x_min_max=tuple(cfg.model.data_min_max),
             img_size=img_size,
+            dtype=jnp.bfloat16
+            if cfg.model.get("compute_dtype", "float32") == "bfloat16"
+            else jnp.float32,
         )
         out = net(img, t, train=train)
         if cfg.model.model_output == "logits":

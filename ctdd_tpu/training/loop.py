@@ -72,7 +72,14 @@ def train(
     ckpt = bookkeeping.CheckpointManager(paths["checkpoints"])
 
     model = create_model(cfg)
-    loss = get_loss(cfg)
+    if cfg.loss.name == "d3pm":
+        # constructed directly, as the reference's d3pm scripts do
+        # (train_synthetic_d3pm.py:72-74)
+        from ctdd_tpu.d3pm.diffusion import D3PMLoss, make_diffusion
+
+        loss = D3PMLoss(cfg, make_diffusion(cfg.model))
+    else:
+        loss = get_loss(cfg)
     tx = get_optimizer(cfg)
 
     dataset = get_dataset(cfg)
