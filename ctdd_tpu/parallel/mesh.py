@@ -35,8 +35,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
-    """Place a host batch onto the mesh, sharded along the leading axis."""
-    return jax.device_put(batch, batch_sharding(mesh, axis))
+    """Place a host batch onto the mesh, sharded along the leading axis.
+
+    Single-host: device_put with a NamedSharding splits the array across the
+    local chips. Multi-host (after initialize_multihost): each process passes
+    its LOCAL shard of the global batch and we assemble the global array from
+    per-process data.
+    """
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.device_put(batch, sharding)
 
 
 def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
