@@ -102,6 +102,57 @@ def reverse_rates(
     raise ValueError(f"unknown rate_param {rate_param}")
 
 
+def _shared_mats(process, t_scalar):
+    """(S, S) transition/rate at one shared timestep (sampler steps share t;
+    the batched (N, S, S) build would be N identical copies)."""
+    t1 = jnp.reshape(t_scalar, (1,)).astype(jnp.float32)
+    return process.transition(t1)[0], process.rate(t1)[0]
+
+
+def reverse_rates_shared(
+    process, logits, x, t_scalar, *, rate_param: str, logit_type: str,
+    eps: float,
+):
+    """Shared-timestep reverse rates: one (S, S) q_{t|0}/R build for the whole
+    batch and O(N·D) row-takes instead of (N, S, S) materialization + batched
+    gathers. Semantics identical to `reverse_rates` when t is constant over
+    the batch — which is every sampler step (sampling.py:120: t · ones(N))."""
+    qt0, rate = _shared_mats(process, t_scalar)
+    if rate_param == "p0t":
+        p0t = jax.nn.softmax(logits, axis=-1)  # (N, D, S)
+        qt0_denom = jnp.take(qt0.T, x, axis=0) + eps  # [n,d,s] = qt0[s, x[n,d]]
+        forward_rates = jnp.take(rate.T, x, axis=0)  # R(s, x[n,d])
+        ratio = jnp.einsum(
+            "bds,sk->bdk", p0t / qt0_denom, qt0,
+            preferred_element_type=jnp.float32,
+        )
+        return forward_rates * ratio
+    elif rate_param == "ratio":
+        if logit_type == "direct":
+            log_prob = jax.nn.log_softmax(logits, axis=-1)
+        elif logit_type == "reverse_prob":
+            p0t = jax.nn.softmax(logits, axis=-1)
+            log_prob = jnp.log(
+                jnp.einsum("bds,sk->bdk", p0t, qt0,
+                           preferred_element_type=jnp.float32) + 1e-35
+            )
+        elif logit_type == "reverse_logscale":
+            log_p0t = jax.nn.log_softmax(logits, axis=-1)
+            log_qt0 = jnp.where(qt0 <= 1e-35, -1e9, jnp.log(qt0 + 1e-35))
+            log_prob = jax.nn.logsumexp(
+                log_p0t[:, :, :, None] + log_qt0[None, None, :, :], axis=-2
+            )
+        else:
+            raise ValueError(logit_type)
+        ll_xt = jnp.take_along_axis(
+            log_prob, x.astype(jnp.int32)[..., None], axis=-1
+        )
+        ratio = jnp.exp(log_prob - ll_xt)
+        fwd_rate = jnp.take(rate, x, axis=0)  # R(x[n,d], s) rows
+        return ratio * fwd_rate
+    raise ValueError(f"unknown rate_param {rate_param}")
+
+
 def poisson_inversion(key, lam, max_k: int = 12):
     """Poisson sampling by CDF inversion with a fixed unrolled series.
 
@@ -202,12 +253,11 @@ class _SamplerBase:
 
     def _rev_rates(self, model, params, x, t_ones):
         logits = model.apply(params, x, t_ones)
-        rev, _ = reverse_rates(
-            model, params, logits, x, t_ones,
+        return reverse_rates_shared(
+            model.process, logits, x, t_ones[0],
             rate_param=self.rate_param, logit_type=self.logit_type,
             eps=self.eps_ratio,
         )
-        return rev
 
     def sample(self, model, params, key, N: int):
         """Host entry: jits the device loop once per (model, N) and runs it."""
@@ -234,10 +284,10 @@ class _SamplerBase:
 @registry.samplers.register
 class TauL(_SamplerBase):
     def _corrector_rates(self, model, params, x, t_ones):
-        rate = model.rate(t_ones)
+        _, rate = _shared_mats(model.process, t_ones[0])
         rev = self._rev_rates(model, params, x, t_ones)
         rev = indexing.zero_at(rev, x)
-        transpose_forward = indexing.rows(rate, x)  # R(x, ·) rows
+        transpose_forward = jnp.take(rate, x, axis=0)  # R(x, ·) rows
         corrector = transpose_forward + rev
         return indexing.zero_at(corrector, x)
 
@@ -314,14 +364,14 @@ class LBJF(_SamplerBase):
             changes = jnp.sum(x != x_new) / N
 
             if self.num_corrector_steps > 0:
-                rate = model.rate(t_ones)
+                _, rate1 = _shared_mats(model.process, t)
 
                 def do_corr(x_c):
                     def body(i, carry):
                         xc, kc = carry
                         kc, ku = jax.random.split(kc)
                         rev_c = self._rev_rates(model, params, xc, t_ones)
-                        transpose_forward = indexing.rows(rate, xc)
+                        transpose_forward = jnp.take(rate1, xc, axis=0)
                         corr = indexing.zero_at(rev_c + transpose_forward, xc)
                         xc = _categorical_euler_update(ku, xc, corr, h, S)
                         return (xc, kc)
@@ -430,8 +480,8 @@ class PCTauL(_SamplerBase):
     def _rates_pair(self, model, params, x, t_ones):
         rev = self._rev_rates(model, params, x, t_ones)
         rev = indexing.zero_at(rev, x)
-        rate = model.rate(t_ones)
-        transpose_forward = indexing.rows(rate, x)
+        _, rate = _shared_mats(model.process, t_ones[0])
+        transpose_forward = jnp.take(rate, x, axis=0)
         return transpose_forward, rev
 
     def _sample_loop(self, model, params, key, N):
@@ -528,17 +578,16 @@ class _ConditionalBase(_SamplerBase):
     def _cond_rates(self, model, params, conditioner, x, t_ones):
         """(transpose_forward, reverse) rates on sampled dims
         (sampling.py:699-726, 802-856)."""
-        qt0 = model.transition(t_ones)
-        rate = model.rate(t_ones)
+        qt0, rate = _shared_mats(model.process, t_ones[0])
         logits = self._cond_p0t(model, params, conditioner, x, t_ones)
         p0t = jax.nn.softmax(logits, axis=-1)
-        qt0_denom = indexing.cols(qt0, x) + self.eps_ratio
-        forward_rates = indexing.cols(rate, x)
+        qt0_denom = jnp.take(qt0.T, x, axis=0) + self.eps_ratio
+        forward_rates = jnp.take(rate.T, x, axis=0)
         inner = jnp.einsum(
-            "bds,bsk->bdk", p0t / qt0_denom, qt0, preferred_element_type=jnp.float32
+            "bds,sk->bdk", p0t / qt0_denom, qt0, preferred_element_type=jnp.float32
         )
         rev = indexing.zero_at(forward_rates * inner, x)
-        transpose_forward = indexing.rows(rate, x)
+        transpose_forward = jnp.take(rate, x, axis=0)
         return transpose_forward, rev
 
 
@@ -681,12 +730,13 @@ class ExactSampling(_SamplerBase):
             logits = self._logits(model, params, x, t_ones, N)
             p0t = jax.nn.softmax(logits, axis=-1)  # (N, D, S)
 
-            q_teps_0 = model.transition(t_eps)  # (N, S, S)
-            q_t_teps = model.transit_between(t_eps, t_ones)  # (N, S, S)
+            t1 = jnp.reshape(t, (1,)).astype(jnp.float32)
+            q_teps_0 = model.transition(t1 - h)[0]  # (S, S)
+            q_t_teps = model.transit_between(t1 - h, t1)[0]  # (S, S)
             # q_{t|t-h}(x_t | k) as a function of k, per dim:
-            trans_cols = indexing.cols(q_t_teps, x)  # (N, D, S)
+            trans_cols = jnp.take(q_t_teps.T, x, axis=0)  # (N, D, S)
             marg = jnp.einsum(
-                "bds,bsk->bdk", p0t, q_teps_0, preferred_element_type=jnp.float32
+                "bds,sk->bdk", p0t, q_teps_0, preferred_element_type=jnp.float32
             )
             log_prob = safe_log(marg) + safe_log(trans_cols)
             x_new = jax.random.categorical(k, log_prob, axis=-1)
