@@ -14,6 +14,7 @@ no speed numbers of its own (BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -49,6 +50,39 @@ def main():
     t = jnp.full((2,), 0.5, jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, t)
 
+    # --- train step throughput (CTElbo, B=64) -------------------------------
+    # measured BEFORE the sampler: the resident 1000-step sampler executable
+    # otherwise degrades the step program ~20x on this chip (measured)
+    loss = get_loss(cfg)
+    tx = get_optimizer(cfg)
+    state = create_train_state(params, tx)
+    step = make_train_step(
+        model, loss, tx, ema_decay=float(cfg.model.ema_decay), donate=False
+    )
+    batch = jax.random.randint(
+        jax.random.PRNGKey(9), (cfg.data.batch_size, D), 0, cfg.data.S
+    )
+    state, l0 = step(state, batch, jax.random.PRNGKey(10))  # compile
+    jax.block_until_ready(l0)
+    n_train = 10
+    t0 = time.time()
+    for i in range(n_train):
+        state, l = step(state, batch, jax.random.PRNGKey(11 + i))
+    jax.block_until_ready(l)
+    train_steps_per_sec = n_train / (time.time() - t0)
+
+    if os.environ.get("BENCH_TRAIN_ONLY"):
+        print(json.dumps({
+            "metric": "ctelbo_train_steps_per_sec",
+            "value": round(train_steps_per_sec, 4),
+            "unit": "steps/sec",
+            "vs_baseline": (
+                round(train_steps_per_sec / TORCH_CPU_TRAIN_STEPS_PER_SEC, 2)
+                if TORCH_CPU_TRAIN_STEPS_PER_SEC else None
+            ),
+        }))
+        return
+
     # --- sampler throughput (1000 steps, TauL) ------------------------------
     sampler = get_sampler(cfg)
     key = jax.random.PRNGKey(0)
@@ -59,24 +93,6 @@ def main():
         sampler.sample(model, params, jax.random.PRNGKey(i + 1), N=N_SAMPLE)
     dt = (time.time() - t0) / n_runs
     samples_per_sec = N_SAMPLE / dt
-
-    # --- train step throughput (CTElbo, B=64) -------------------------------
-    loss = get_loss(cfg)
-    tx = get_optimizer(cfg)
-    state = create_train_state(params, tx)
-    step = make_train_step(
-        model, loss, tx, ema_decay=float(cfg.model.ema_decay), donate=False
-    )
-    batch = jax.random.randint(
-        jax.random.PRNGKey(9), (cfg.data.batch_size, D), 0, cfg.data.S
-    )
-    state, _ = step(state, batch, jax.random.PRNGKey(10))  # compile
-    n_train = 10
-    t0 = time.time()
-    for i in range(n_train):
-        state, l = step(state, batch, jax.random.PRNGKey(11 + i))
-    jax.block_until_ready(l)
-    train_steps_per_sec = n_train / (time.time() - t0)
 
     vs_baseline = (
         samples_per_sec / TORCH_CPU_SAMPLES_PER_SEC

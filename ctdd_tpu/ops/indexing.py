@@ -49,18 +49,6 @@ def diag(mat: jnp.ndarray) -> jnp.ndarray:
     return jnp.diagonal(mat, axis1=1, axis2=2)
 
 
-def set_elems(x: jnp.ndarray, ridx: jnp.ndarray, cidx: jnp.ndarray, value) -> jnp.ndarray:
-    """x[b, ridx[b,d], cidx[b,d]] = value on a (B, D, S) tensor, batched.
-
-    Used to zero diagonal entries (losses.py:65-67, sampling.py:177-181).
-    When ridx spans all of D (arange), prefer `scatter_dim` below.
-    """
-    S = x.shape[-1]
-    onehot = jnp.arange(S, dtype=jnp.int32)[None, None, :] == cidx[:, :, None]
-    # ridx is assumed to be arange(D) broadcast — i.e. one write per (b, d).
-    return jnp.where(onehot, value, x)
-
-
 def zero_at(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """x with x[b, d, idx[b, d]] = 0 (the ubiquitous diagonal-mask pattern)."""
     S = x.shape[-1]

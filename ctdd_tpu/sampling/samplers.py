@@ -28,6 +28,9 @@ Samplers (registry names match the reference):
 explicit `rate_param` switch; `rate_param_from_loss` reproduces the reference
 dispatch (including the effect of its always-true branch at sampling.py:61:
 every non-tauLDR loss takes the CRM path).
+
+Excluded: TAULStepSize (sampling.py:1088-1277) — half-finished debug sampler
+with autograd print statements; SURVEY.md §2.4 marks it experimental-only.
 """
 
 from __future__ import annotations
