@@ -42,7 +42,8 @@ def make_dp_train_step(
 
     def per_shard(state: TrainState, batch, key, label):
         idx = jax.lax.axis_index(axis)
-        key = jax.random.fold_in(key, idx)
+        # per-shard AND per-step fold-in: one base key serves the whole run
+        key = jax.random.fold_in(jax.random.fold_in(key, state.step), idx)
         l, grads = jax.value_and_grad(loss_fn)(
             state.params, batch, key, label, state.step
         )

@@ -125,8 +125,8 @@ def train(
             jax.profiler.start_trace(os.path.join(paths["root"], "profile"))
         batch, label = next(batches)
         batch = shard_batch(np.asarray(batch), mesh)
-        key, sub = jax.random.split(key)
-        state, l = step_fn(state, batch, sub)
+        # one base key for the whole run; the step folds in state.step
+        state, l = step_fn(state, batch, key)
         if profile_steps and it == profile_steps[1]:
             jax.block_until_ready(l)
             jax.profiler.stop_trace()

@@ -45,6 +45,9 @@ def make_train_step(
         )
 
     def step(state: TrainState, batch, key, label=None):
+        # fold the step counter in on-device: callers can pass one base key
+        # for the whole run with no per-step host RNG work
+        key = jax.random.fold_in(key, state.step)
         l, grads = jax.value_and_grad(loss_fn)(
             state.params, batch, key, label, state.step
         )

@@ -74,10 +74,11 @@ def test_dp_grad_is_mean_over_shards(setup):
     key = jax.random.PRNGKey(7)
     _, l_dp = step(state, shard_batch(batch_np, mesh), key)
 
-    # reproduce on host: shard i gets rows [4i:4i+4] and key fold_in(key, i)
+    # reproduce on host: shard i gets rows [4i:4i+4] and key
+    # fold_in(fold_in(key, step=0), i)
     per = []
     for i in range(8):
-        ki = jax.random.fold_in(key, i)
+        ki = jax.random.fold_in(jax.random.fold_in(key, 0), i)
         k_loss, _ = jax.random.split(ki)
         shard = jnp.asarray(batch_np[4 * i : 4 * (i + 1)])
         per.append(
