@@ -48,11 +48,31 @@ def _digits_standin(n: int, image_size: int, seed: int = 0) -> Tuple[np.ndarray,
 
 
 def _augment(images: np.ndarray, random_flips: bool, seed: int = 0) -> np.ndarray:
-    """Static horizontal-flip doubling (ref mnist.py applies random flips per
-    item; we pre-double the array — same distribution, zero per-batch cost)."""
+    """Static horizontal-flip doubling (CIFAR-style; the per-item random flip
+    of the reference becomes a pre-doubled pool — same distribution, zero
+    per-batch cost)."""
     if not random_flips:
         return images
     return np.concatenate([images, images[:, :, ::-1]], axis=0)
+
+
+def _augment_rotations(images: np.ndarray, use_augm: bool, seed: int = 0,
+                       max_deg: float = 10.0) -> np.ndarray:
+    """±10° random-rotation pool (the reference's MNIST 'use_augm' applies
+    torchvision RandomRotation((-10, 10)) per item, mnist.py:67-69,84-85;
+    we pre-generate one rotated copy per image)."""
+    if not use_augm:
+        return images
+    from scipy.ndimage import rotate
+
+    rng = np.random.RandomState(seed)
+    rotated = np.stack(
+        [
+            rotate(img, rng.uniform(-max_deg, max_deg), reshape=False, order=1)
+            for img in images
+        ]
+    ).astype(images.dtype)
+    return np.concatenate([images, rotated], axis=0)
 
 
 @registry.datasets.register(name="DiscreteMNIST")
@@ -75,7 +95,7 @@ def discrete_mnist(cfg, root: Optional[str] = None) -> ArrayDataset:
         imgs = np.repeat(np.repeat(imgs, reps, axis=1), reps, axis=2)[
             :, :size, :size
         ]
-    imgs = _augment(imgs, cfg.data.get("random_flips", False))
+    imgs = _augment_rotations(imgs, cfg.data.get("use_augm", False))
     data = imgs[:, None, :, :].astype(np.uint8)  # (N, 1, H, W)
     labels = np.concatenate([labels, labels])[: len(data)] if len(labels) != len(
         data
