@@ -34,6 +34,7 @@ _PRESETS = {
     "bert_maze": "ctdd_tpu.config.presets.maze_bert",
     # sudoku / protein
     "sudoku": "ctdd_tpu.config.presets.sudoku",
+    "pianoroll_cond": "ctdd_tpu.config.presets.pianoroll_conditional",
     "hollow_protein": "ctdd_tpu.config.presets.protein_hollow",
     "bin_mnist_hollow": "ctdd_tpu.config.presets.bin_mnist_hollow",
 }

@@ -1,0 +1,47 @@
+"""Lakh pianoroll + SequenceTransformer + CondCTElbo + ConditionalTauLeaping.
+
+The reference carries the full conditional stack — LakhPianoroll dataset
+(mnist.py:90-103), CondCTElbo (losses.py:547-781), conditional samplers
+(sampling.py:649-905) and the ConditionalDenoisingNoteSeq logger
+(loggers.py:62-113) — but ships no config for it (the tauLDR-era piano
+experiments). This preset wires those pieces so the conditional path is
+user-reachable end-to-end.
+"""
+
+import ml_collections
+
+from ctdd_tpu.config.presets._base import (
+    adam, base_config, loss_section, sampler_section, saving_section,
+    training_section,
+)
+
+
+def get_config():
+    config = base_config("pianoroll_cond")
+    loss_section(
+        config, name="CondCTElbo", nll_weight=0.001, min_time=0.01,
+        condition_dim=32,
+    )
+    training_section(config, n_iters=300000, grad_norm=1.0, max_t=0.99999)
+    config.data = ml_collections.ConfigDict(
+        dict(
+            name="LakhPianoroll", S=129, batch_size=64, shuffle=True,
+            shape=[256], location="data/pianoroll/train.npy",
+        )
+    )
+    config.model = ml_collections.ConfigDict(
+        dict(
+            name="UniformRateSequenceTransformerEMA", concat_dim=256,
+            rate_const=0.03, Q_sigma=20.0, num_layers=6, d_model=128,
+            num_heads=8, dim_feedforward=2048, dropout=0.1,
+            num_output_FFresiduals=2, time_scale_factor=1000, temb_dim=128,
+            use_one_hot_input=True, use_cat=True, ema_decay=0.9999,
+            log_prob="cat",
+        )
+    )
+    adam(config, 2e-4)
+    saving_section(config)
+    sampler_section(config, name="ConditionalTauLeaping", num_steps=1000)
+    config.sampler.condition_dim = 32
+    config.sampler.reject_multiple_jumps = True
+    return config

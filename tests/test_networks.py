@@ -179,3 +179,22 @@ def test_datasets_maze_sudoku_protein():
     bad = boards.reshape(3, 81).copy() - 1
     bad[:, 0] = bad[:, 1]  # corrupt
     assert sudoku_acc(bad) == 0.0
+
+
+def test_prefix_conditional_bidir_transformer():
+    from ctdd_tpu.networks.hollow import PrefixConditionalBidirTransformer
+    from ctdd_tpu.config.base import FrozenCfg
+
+    cfg = hollow_cfg(
+        "UniVarHollowEMA", nets="bidir_transformer",
+        net_arch="bidir_transformer", bidir_readout="res_concat",
+        conditional_dim=2,
+    )
+    net = PrefixConditionalBidirTransformer(cfg=FrozenCfg(cfg))
+    x = jnp.zeros((2, 6), jnp.int32)
+    t = jnp.full((2,), 0.5)
+    params = net.init(jax.random.PRNGKey(0), x, t)
+    logits = net.apply(params, x, t)
+    assert logits.shape == (2, 6, cfg.data.S)
+    # the conditional prefix gets dummy zero logits (ref :1127-1132)
+    np.testing.assert_allclose(np.asarray(logits[:, :2]), 0.0)
