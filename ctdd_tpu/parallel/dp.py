@@ -96,6 +96,81 @@ def make_dp_train_step(
     return step
 
 
+def make_device_data_train_step(
+    model,
+    loss,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    batch_size: int,
+    ema_decay: float = 0.0,
+    axis: str = DATA_AXIS,
+) -> Callable:
+    """DP train step over a device-resident dataset: batch selection happens
+    INSIDE the compiled step (uniform-with-replacement indices per shard), so
+    the host loop does zero per-step data work. The reference preloads its
+    datasets onto the accelerator the same way (mnist.py:62: data .to(device));
+    this is the TPU equivalent with the batch gather fused into the step.
+
+    Returns step(state, data, key) where `data` is the full (N, ...) dataset
+    already sharded/replicated on the mesh.
+    """
+
+    def loss_fn(params, batch, key, n_iter):
+        k_loss, k_dropout = jax.random.split(key)
+        return loss.calc_loss(
+            model, params, k_loss, batch, n_iter=n_iter, train=True,
+            rngs={"dropout": k_dropout},
+        )
+
+    n_dev = mesh.devices.size
+    per_shard_batch = batch_size // n_dev
+    assert per_shard_batch > 0, "batch_size must cover the mesh"
+
+    def per_shard(state: TrainState, data, key):
+        idx_dev = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(jax.random.fold_in(key, state.step), idx_dev)
+        k_idx, k_loss = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (per_shard_batch,), 0, data.shape[0])
+        batch = jnp.take(data, idx, axis=0)
+        l, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, k_loss, state.step
+        )
+        grads = jax.lax.pmean(grads, axis)
+        l = jax.lax.pmean(l, axis)
+        ok = jnp.isfinite(l)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_params, state.params
+        )
+        new_opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state
+        )
+        if ema_decay > 0.0:
+            ema, n_updates = state.ema_update(new_params, ema_decay)
+            ema = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), ema, state.ema_params
+            )
+            n_updates = jnp.where(ok, n_updates, state.ema_num_updates)
+        else:
+            ema, n_updates = state.ema_params, state.ema_num_updates
+        new_state = TrainState(
+            params=new_params, ema_params=ema, opt_state=new_opt_state,
+            step=state.step + 1, ema_num_updates=n_updates,
+        )
+        return new_state, jnp.where(ok, l, NAN_SENTINEL)
+
+    shard_fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),  # dataset replicated across shards
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn, donate_argnums=(0,))
+
+
 def make_dp_sampler(sampler, mesh: Mesh, axis: str = DATA_AXIS) -> Callable:
     """Shard an N-sample generation across the mesh (each chip runs the full
     scan on N/n_devices samples — sampling is embarrassingly parallel)."""

@@ -20,7 +20,7 @@ from ctdd_tpu.config.base import save_config
 from ctdd_tpu.data.loaders import get_dataset, iterate_batches
 from ctdd_tpu.losses.losses import get_loss
 from ctdd_tpu.models.base import create_model
-from ctdd_tpu.parallel.dp import make_dp_train_step
+from ctdd_tpu.parallel.dp import make_device_data_train_step, make_dp_train_step
 from ctdd_tpu.parallel.mesh import make_mesh, shard_batch
 from ctdd_tpu.sampling.samplers import get_sampler
 from ctdd_tpu.training.optimizers import get_optimizer
@@ -102,11 +102,32 @@ def train(
         mgr = bookkeeping.CheckpointManager(resume_from)
         state = mgr.restore(state)
 
-    step_fn = make_dp_train_step(
-        model, loss, tx, mesh,
-        ema_decay=float(cfg.model.get("ema_decay", 0.0)),
-        has_label=False,
+    # device-resident data path: dataset lives on the mesh and batch selection
+    # happens inside the jitted step. Opt-in (training.device_data = True):
+    # on the tunneled single-chip dev backend the shard_map-with-replicated-
+    # dataset program measures ~70x slower than the host-fed step, so the
+    # default stays host-fed; on real pods flip it per run.
+    device_data_cap = int(cfg.training.get("device_data_bytes", 512 * 2**20))
+    device_data = (
+        bool(cfg.training.get("device_data", False))
+        and dataset.labels is None
+        and dataset.data.nbytes <= device_data_cap
     )
+    if device_data:
+        flat = dataset.data.reshape(len(dataset), -1).astype(np.int32)
+        data_on_device = jax.device_put(
+            flat, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        step_fn = make_device_data_train_step(
+            model, loss, tx, mesh, batch_size=cfg.data.batch_size,
+            ema_decay=float(cfg.model.get("ema_decay", 0.0)),
+        )
+    else:
+        step_fn = make_dp_train_step(
+            model, loss, tx, mesh,
+            ema_decay=float(cfg.model.get("ema_decay", 0.0)),
+            has_label=False,
+        )
 
     preempt = bookkeeping.PreemptionHandler(paths["root"])
     preempt.set_save_fn(lambda: ckpt.save(int(state.step), state, force=True))
@@ -117,19 +138,26 @@ def train(
     sampler = get_sampler(cfg) if sample_freq and sample_freq <= n_iters else None
     losses = []
     t_start = time.time()
+    t_post_compile = None  # set after the first step completes
     n_start = int(state.step)
     for it in range(n_start, n_iters):
         # profiling window (SURVEY.md §5: jax.profiler replaces the
         # reference's vestigial torch profiler imports)
         if profile_steps and it == profile_steps[0]:
             jax.profiler.start_trace(os.path.join(paths["root"], "profile"))
-        batch, label = next(batches)
-        batch = shard_batch(np.asarray(batch), mesh)
         # one base key for the whole run; the step folds in state.step
-        state, l = step_fn(state, batch, key)
+        if device_data:
+            state, l = step_fn(state, data_on_device, key)
+        else:
+            batch, label = next(batches)
+            batch = shard_batch(np.asarray(batch), mesh)
+            state, l = step_fn(state, batch, key)
         if profile_steps and it == profile_steps[1]:
             jax.block_until_ready(l)
             jax.profiler.stop_trace()
+        if t_post_compile is None:
+            jax.block_until_ready(l)
+            t_post_compile = time.time()
         if (it + 1) % log_every == 0:
             lv = float(l)
             losses.append(lv)
@@ -141,12 +169,14 @@ def train(
             _save_sample_grid(
                 cfg, model, state, sampler, writer, paths["pngs"], it + 1
             )
-    elapsed = time.time() - t_start
+    jax.block_until_ready(l) if n_iters > n_start else None
+    elapsed = time.time() - (t_post_compile or t_start)
     ckpt.save(n_iters, state, force=True)
     writer.flush()
     return state, {
         "paths": paths,
         "losses": losses,
-        "steps_per_sec": (n_iters - n_start) / max(elapsed, 1e-9),
+        # steady-state rate: excludes the first (compile) step
+        "steps_per_sec": max(n_iters - n_start - 1, 1) / max(elapsed, 1e-9),
         "model": model,
     }
