@@ -102,31 +102,49 @@ def train(
         mgr = bookkeeping.CheckpointManager(resume_from)
         state = mgr.restore(state)
 
-    # device-resident data path: dataset lives on the mesh and batch selection
-    # happens inside the jitted step. Opt-in (training.device_data = True):
-    # on the tunneled single-chip dev backend the shard_map-with-replicated-
-    # dataset program measures ~70x slower than the host-fed step, so the
-    # default stays host-fed; on real pods flip it per run.
+    # Step-function selection (measured on the dev box, MNIST flagship):
+    # - per-step host->device device_put costs ~175 ms through the tunnel,
+    #   so datasets under the size cap live on the device and the batch
+    #   gather happens INSIDE the compiled step (23.6 ms/step);
+    # - single-device meshes use plain jit (shard_map with a replicated
+    #   dataset arg measured ~2 s/step through the tunnel);
+    # - multi-device meshes use the shard_map DP paths (the pod-scale path).
     device_data_cap = int(cfg.training.get("device_data_bytes", 512 * 2**20))
+    # labels are not consumed by any loss this loop drives (the reference's
+    # label-aware path, NLLOriginal, is script-driven there too), so the
+    # device-data fast path applies regardless of dataset.labels
     device_data = (
-        bool(cfg.training.get("device_data", False))
-        and dataset.labels is None
+        bool(cfg.training.get("device_data", True))
         and dataset.data.nbytes <= device_data_cap
     )
-    if device_data:
+    ema_decay = float(cfg.model.get("ema_decay", 0.0))
+    single = mesh.devices.size == 1
+    if device_data and single:
+        from ctdd_tpu.training.train_step import make_device_data_step
+
+        data_on_device = jnp.asarray(
+            dataset.data.reshape(len(dataset), -1).astype(np.int32)
+        )
+        step_fn = make_device_data_step(
+            model, loss, tx, batch_size=cfg.data.batch_size,
+            ema_decay=ema_decay,
+        )
+    elif device_data:
         flat = dataset.data.reshape(len(dataset), -1).astype(np.int32)
         data_on_device = jax.device_put(
             flat, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
         )
         step_fn = make_device_data_train_step(
             model, loss, tx, mesh, batch_size=cfg.data.batch_size,
-            ema_decay=float(cfg.model.get("ema_decay", 0.0)),
+            ema_decay=ema_decay,
         )
+    elif single:
+        from ctdd_tpu.training.train_step import make_train_step
+
+        step_fn = make_train_step(model, loss, tx, ema_decay=ema_decay)
     else:
         step_fn = make_dp_train_step(
-            model, loss, tx, mesh,
-            ema_decay=float(cfg.model.get("ema_decay", 0.0)),
-            has_label=False,
+            model, loss, tx, mesh, ema_decay=ema_decay, has_label=False
         )
 
     preempt = bookkeeping.PreemptionHandler(paths["root"])

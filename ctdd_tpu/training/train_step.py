@@ -82,6 +82,65 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_device_data_step(
+    model,
+    loss,
+    tx: optax.GradientTransformation,
+    batch_size: int,
+    ema_decay: float = 0.0,
+) -> Callable:
+    """Single-device step over a device-resident dataset.
+
+    `step(state, data, key)`: uniform-with-replacement batch indices are drawn
+    and gathered INSIDE the compiled program, so the host loop does zero
+    per-step data work (a per-step host->device device_put costs ~175 ms
+    through this dev box's tunnel; in-jit gather measured 23.6 ms/step for
+    the MNIST flagship). The reference preloads its datasets onto the
+    accelerator the same way (mnist.py:62).
+    """
+
+    def loss_fn(params, batch, key, n_iter):
+        k_loss, k_dropout = jax.random.split(key)
+        return loss.calc_loss(
+            model, params, k_loss, batch, n_iter=n_iter, train=True,
+            rngs={"dropout": k_dropout},
+        )
+
+    def step(state: TrainState, data, key):
+        key = jax.random.fold_in(key, state.step)
+        k_idx, k_loss = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, data.shape[0])
+        batch = jnp.take(data, idx, axis=0)
+        l, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, k_loss, state.step
+        )
+        ok = jnp.isfinite(l)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_params, state.params
+        )
+        new_opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state
+        )
+        if ema_decay > 0.0:
+            ema, n_updates = state.ema_update(new_params, ema_decay)
+            ema = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), ema, state.ema_params
+            )
+            n_updates = jnp.where(ok, n_updates, state.ema_num_updates)
+        else:
+            ema, n_updates = state.ema_params, state.ema_num_updates
+        new_state = TrainState(
+            params=new_params, ema_params=ema, opt_state=new_opt_state,
+            step=state.step + 1, ema_num_updates=n_updates,
+        )
+        return new_state, jnp.where(ok, l, NAN_SENTINEL)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 @registry.train_steps.register
 class Standard:
     """Registry wrapper so cfg.training.train_step_name resolves like the
