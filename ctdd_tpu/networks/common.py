@@ -6,8 +6,6 @@ lib/networks/tau_networks.py and hollow_networks.py.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -11,8 +11,6 @@ Internally NHWC; adaLN modulations zero-initialized as in the reference.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

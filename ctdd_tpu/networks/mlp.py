@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ctdd_tpu.networks.common import TimeEmbedMLP, film, normalize_states
+from ctdd_tpu.networks.common import TimeEmbedMLP, normalize_states
 
 
 class ResidualMLP(nn.Module):

@@ -9,10 +9,7 @@ logits (or 2·C logistic pars). Internally NHWC.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ctdd_tpu.networks.dit import Attention  # timm-style ViT attention

@@ -10,12 +10,12 @@ is independent while params stay replicated.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ctdd_tpu.parallel.mesh import DATA_AXIS
 from ctdd_tpu.training.state import TrainState

@@ -8,7 +8,7 @@ We keep that public API: configs carry names, registries resolve factories.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterable
+from typing import Any, Dict, Iterable
 
 
 class Registry:

@@ -36,7 +36,7 @@ with autograd print statements; SURVEY.md §2.4 marks it experimental-only.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ shard_map with a psum gradient reduction.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

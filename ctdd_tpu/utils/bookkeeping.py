@@ -22,7 +22,7 @@ from typing import Any, Optional
 import numpy as np
 import orbax.checkpoint as ocp
 
-from ctdd_tpu.config.base import load_config, save_config
+from ctdd_tpu.config.base import load_config
 
 
 def create_experiment_folder(save_location: str, experiment_name: str) -> dict:
