@@ -1,0 +1,67 @@
+"""Serving layer: checkpoint -> SamplerService -> HTTP round trip."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+
+from ctdd_tpu.config.presets import get_preset
+from ctdd_tpu.models.base import create_model
+from ctdd_tpu.training.optimizers import get_optimizer
+from ctdd_tpu.training.state import create_train_state
+from ctdd_tpu.utils.bookkeeping import CheckpointManager
+
+
+def _make_ckpt(tmp_path):
+    cfg = get_preset("mlp_synthetic")
+    cfg.data.shape = [8]
+    cfg.data.num_samples = 64
+    cfg.data.location = ""
+    cfg.model.concat_dim = 8
+    cfg.model.d_model = 16
+    cfg.model.hidden_dim = 32
+    cfg.model.num_layers = 1
+    cfg.model.temb_dim = 8
+    cfg.sampler.num_steps = 4
+    model = create_model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 8), jnp.int32), jnp.full((2,), 0.5)
+    )
+    state = create_train_state(params, get_optimizer(cfg))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    return cfg, str(tmp_path / "ckpt")
+
+
+def test_sampler_service_and_http(tmp_path):
+    from ctdd_tpu.serving import SamplerService, run_http_server
+
+    cfg, ckpt = _make_ckpt(tmp_path)
+    svc = SamplerService(cfg, ckpt, batch=4)
+    out = svc.generate(6)  # spans two compiled batches
+    assert out.shape == (6, 8)
+    assert out.min() >= 0 and out.max() < cfg.data.S
+
+    server = run_http_server(svc, port=0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["batch"] == 4
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/generate?n=3"
+        ) as r:
+            payload = json.loads(r.read())
+        assert payload["shape"] == [3, 8]
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/nope") as r:
+            pass
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    finally:
+        server.shutdown()
