@@ -1,7 +1,10 @@
-"""Synthetic 2spirals + ResidualMLP + CatRM + LBJF — the minimal e2e slice.
+"""Synthetic 2spirals + ResidualMLP + CTElbo + LBJF — the minimal e2e slice.
 
 A small, CPU-runnable preset (SURVEY.md §7 build step 2); process/loss/sampler
-settings follow the synthetic family of reference configs.
+settings follow the synthetic family of reference configs. CTElbo (not CatRM):
+ratio-matching losses require hollow/masked architectures — a plain MLP sees
+its own input dim and ll_xt degenerates to the identity (the reference pairs
+CatRM only with hollow/masked/Bert nets for the same reason).
 """
 
 import ml_collections
@@ -14,7 +17,7 @@ def get_config():
     config.distributed = False
 
     config.loss = loss = ml_collections.ConfigDict()
-    loss.name = "CatRM"
+    loss.name = "CTElbo"
     loss.logit_type = "direct"
     loss.loss_type = "rm"
     loss.ce_coeff = 0.0
