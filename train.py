@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", default=None, help="checkpoint dir to resume")
+    ap.add_argument(
+        "--auto-resume", action="store_true",
+        help="scan today's runs for one with an identical config and resume "
+             "it (the reference's preemption-recovery flow, "
+             "bookkeeping.py:285-340)",
+    )
     ap.add_argument("--writer", default="tensorboard")
     ap.add_argument("--set", nargs="*", default=None, help="key=value overrides")
     args = ap.parse_args()
@@ -52,6 +58,17 @@ def main():
     from ctdd_tpu.training.loop import train
 
     cfg = apply_overrides(get_preset(args.preset), parse_overrides(args.set))
+    if args.auto_resume and args.resume is None:
+        import os
+
+        from ctdd_tpu.utils.bookkeeping import check_for_preempted_run
+
+        found = check_for_preempted_run(
+            cfg.save_location, cfg.experiment_name, cfg
+        )
+        if found:
+            args.resume = os.path.join(found, "checkpoints")
+            print(f"auto-resume: {args.resume}")
     state, info = train(
         cfg,
         n_iters=args.iters,
