@@ -48,11 +48,27 @@ def main():
     state = CheckpointManager(args.ckpt).restore(state)
     params = state.ema_params if args.use_ema else state.params
 
-    sampler = get_sampler(cfg)
+    if cfg.loss.name == "d3pm":
+        # D3PM models carry no CTMC process; sample ancestrally
+        # (ref eval_synthetic.py:162 -> d3pm.p_sample_loop)
+        from ctdd_tpu.d3pm.diffusion import make_diffusion
 
-    def sample_fn(key, n):
-        out = sampler.sample(model, params, key, N=n)
-        return out[0] if isinstance(out, tuple) else out
+        diffusion = make_diffusion(cfg.model)
+        D = cfg.model.concat_dim
+
+        def sample_fn(key, n):
+            def model_fn(x, t):
+                return model.apply(params, x, t)
+
+            return np.asarray(
+                diffusion.p_sample_loop(key, model_fn, (n, D))
+            )
+    else:
+        sampler = get_sampler(cfg)
+
+        def sample_fn(key, n):
+            out = sampler.sample(model, params, key, N=n)
+            return out[0] if isinstance(out, tuple) else out
 
     if args.metric == "mmd":
         from ctdd_tpu.metrics.mmd import eval_mmd
