@@ -190,6 +190,20 @@ def train(
     jax.block_until_ready(l) if n_iters > n_start else None
     elapsed = time.time() - (t_post_compile or t_start)
     ckpt.save(n_iters, state, force=True)
+    if losses:
+        # loss-curve png like the reference train loops save
+        # (train_image.py:108-121)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.plot(np.arange(len(losses)) * log_every + n_start, losses)
+        ax.set_xlabel("iteration")
+        ax.set_ylabel("loss")
+        fig.savefig(os.path.join(paths["root"], "loss_curve.png"))
+        plt.close(fig)
     writer.flush()
     return state, {
         "paths": paths,
