@@ -141,3 +141,34 @@ def test_transition_jit_and_grad_safe():
         return proc.transition(t).sum()
 
     assert np.isfinite(float(f(jnp.array([0.5]))))
+
+
+def test_gaussian_target_semigroup():
+    """Chapman-Kolmogorov for the non-symmetric eig path (true inverse
+    eigvecs; the reference's transit_between mistakenly uses eigvecsᵀ)."""
+    proc = fp.make_gaussian_target(
+        10, rate_sigma=3.0, Q_sigma=20.0, time_base=3.0, time_exp=100.0
+    )
+    t1 = jnp.array([0.15])
+    t2 = jnp.array([0.45])
+    q1 = proc.transition(t1)
+    q12 = proc.transit_between(t1, t2)
+    q2 = proc.transition(t2)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("bij,bjk->bik", q1, q12)),
+        np.asarray(q2),
+        atol=5e-4,
+    )
+
+
+def test_gaussian_target_matches_expm():
+    proc = fp.make_gaussian_target(
+        8, rate_sigma=2.0, Q_sigma=20.0, time_base=3.0, time_exp=100.0
+    )
+    t = 0.3
+    integral = 3.0 * (100.0**t) - 3.0
+    want = dense_transition(proc.base_rate, integral)
+    want = want / want.sum(-1, keepdims=True)
+    want[want < 1e-8] = 0.0
+    got = np.asarray(proc.transition(jnp.array([t])))[0]
+    np.testing.assert_allclose(got, want, atol=5e-4)
