@@ -62,6 +62,7 @@ def _sequence_transformer(cfg):
         time_scale_factor=cfg.model.time_scale_factor,
         temb_dim=cfg.model.temb_dim,
         use_one_hot_input=cfg.model.use_one_hot_input,
+        use_cat=cfg.model.get("use_cat", True),
         max_len=cfg.data.shape[0],
     )
 

@@ -84,6 +84,8 @@ class SequenceTransformer(nn.Module):
     time_scale_factor: float
     temb_dim: int
     use_one_hot_input: bool
+    use_cat: bool = True  # categorical input path (one-hot Dense or Embed);
+    # False = normalized-scalar Dense (tau_networks.py:616-625 semantics)
     max_len: int = 5000
     dtype: jnp.dtype = jnp.float32
 
@@ -99,10 +101,13 @@ class SequenceTransformer(nn.Module):
         )(t)
         one_hot_x = jax.nn.one_hot(x, self.S, dtype=jnp.float32)
 
-        if self.use_one_hot_input:
-            h = nn.Dense(self.d_model, dtype=self.dtype)(
-                one_hot_x.astype(self.dtype)
-            )
+        if self.use_cat:
+            if self.use_one_hot_input:
+                h = nn.Dense(self.d_model, dtype=self.dtype)(
+                    one_hot_x.astype(self.dtype)
+                )
+            else:
+                h = nn.Embed(self.S, self.d_model, dtype=self.dtype)(x)
         else:
             h = normalize_states(x, self.S)[:, :, None].astype(self.dtype)
             h = nn.Dense(self.d_model, dtype=self.dtype)(h)
