@@ -47,11 +47,18 @@ from ctdd_tpu.ops import indexing
 from ctdd_tpu.ops.logprob import logprob_with_logits
 from ctdd_tpu.utils.math import safe_log
 
-TAULDR_LOSSES = ("CTElbo", "NLL", "CTElboLambda")
+TAULDR_LOSSES = ("CTElbo", "NLL", "CTElboLambda", "NLLOriginal")
 
 
 def rate_param_from_loss(loss_name: str) -> str:
-    """'p0t' (tauLDR x0-parameterization) or 'ratio' (CRM log-prob ratios)."""
+    """'p0t' (tauLDR x0-parameterization) or 'ratio' (CRM log-prob ratios).
+
+    NLLOriginal trains the identical x0-parameterization as CTElbo (plain CE
+    of p^θ_{0|t}, ref losses.py:1048-1103), so its reverse rates take the p0t
+    path. The reference's dispatch (sampling.py:61) would instead route it
+    down the CRM branch via the always-true `or "ScoreElbo"` bug — treating
+    p(x0|xt) logits as marginal log-probs, which is not the math the loss
+    trained. We normalize this (SURVEY.md §7 "known quirks")."""
     return "p0t" if loss_name in TAULDR_LOSSES else "ratio"
 
 
@@ -247,6 +254,10 @@ class _SamplerBase:
         self.loss_name = cfg.loss.name
         self.rate_param = rate_param_from_loss(self.loss_name)
         self.logit_type = cfg.loss.get("logit_type", "direct")
+        # EBM models expose energies, not per-dim logits; build the per-dim
+        # logits from all-mutation / bit-flip energy differences, exactly as
+        # the reference's pluggable logit fns do (sampling.py:908-972)
+        self.log_prob_kind = cfg.model.get("log_prob", "cat")
         # static dead-branch elimination: when the corrector can never fire
         # (entry time below the time grid), don't trace it at all — the
         # reference configs ship corrector_entry_time=0.0 with
@@ -254,8 +265,21 @@ class _SamplerBase:
         if self.corrector_entry_time < self.min_t:
             self.num_corrector_steps = 0
 
+    def _net_logits(self, model, params, x, t_ones):
+        """(N, D, S) logits; EBM energies routed through the mutation
+        enumerators (ref cat_logits/ebm_logits/bin_ebm_logits, :908-972)."""
+        if self.log_prob_kind == "ebm":
+            from ctdd_tpu.losses.losses import ebm_all_mutation_logits
+
+            return ebm_all_mutation_logits(model, params, x, t_ones, self.S)
+        if self.log_prob_kind == "bin_ebm":
+            from ctdd_tpu.losses.losses import bin_ebm_flip_logits
+
+            return bin_ebm_flip_logits(model, params, x, t_ones)
+        return model.apply(params, x, t_ones)
+
     def _rev_rates(self, model, params, x, t_ones):
-        logits = model.apply(params, x, t_ones)
+        logits = self._net_logits(model, params, x, t_ones)
         return reverse_rates_shared(
             model.process, logits, x, t_ones[0],
             rate_param=self.rate_param, logit_type=self.logit_type,
@@ -337,7 +361,7 @@ class TauL(_SamplerBase):
             return x_new, changes
 
         x, change_dim = jax.lax.scan(step, x, (ts, hs, keys))
-        if self.loss_name in ("CTElbo", "NLL"):
+        if self.loss_name in TAULDR_LOSSES:
             x = _denoise_argmax(model, params, x, self.min_t, N)
         return x, change_dim
 
@@ -390,7 +414,9 @@ class LBJF(_SamplerBase):
             return x_new, changes
 
         x, change_dim = jax.lax.scan(step, x, (ts, hs, keys))
-        if self.loss_name == "CTElbo":
+        # argmax denoise for every x0-parameterization loss (the reference
+        # gates LBJF's on CTElbo only, sampling.py:349; normalized here)
+        if self.loss_name in TAULDR_LOSSES:
             x = _denoise_argmax(model, params, x, self.min_t, N)
         return x, change_dim
 
@@ -462,7 +488,7 @@ class MidPointTauL(_SamplerBase):
             return x_new, changes
 
         x, change_dim = jax.lax.scan(step, x, (ts, keys))
-        if self.loss_name == "CTElbo":
+        if self.loss_name in TAULDR_LOSSES:
             x = _denoise_argmax(model, params, x, self.min_t, N)
         return x, change_dim
 
@@ -702,21 +728,6 @@ class ExactSampling(_SamplerBase):
     — one (N,D,S)x(N,S,S) MXU matmul plus a column gather, S× less memory.
     """
 
-    def __init__(self, cfg):
-        super().__init__(cfg)
-        self.log_prob_kind = cfg.model.get("log_prob", "cat")
-
-    def _logits(self, model, params, x, t_ones, N):
-        if self.log_prob_kind == "ebm":
-            from ctdd_tpu.losses.losses import ebm_all_mutation_logits
-
-            return ebm_all_mutation_logits(model, params, x, t_ones, self.S)
-        if self.log_prob_kind == "bin_ebm":
-            from ctdd_tpu.losses.losses import bin_ebm_flip_logits
-
-            return bin_ebm_flip_logits(model, params, x, t_ones)
-        return model.apply(params, x, t_ones)
-
     def _sample_loop(self, model, params, key, N):
         S = self.S
         k_init, k_scan = jax.random.split(key)
@@ -730,7 +741,7 @@ class ExactSampling(_SamplerBase):
             t, h, k = inp
             t_ones = t * jnp.ones((N,), jnp.float32)
             t_eps = t_ones - h
-            logits = self._logits(model, params, x, t_ones, N)
+            logits = self._net_logits(model, params, x, t_ones)
             p0t = jax.nn.softmax(logits, axis=-1)  # (N, D, S)
 
             t1 = jnp.reshape(t, (1,)).astype(jnp.float32)
@@ -748,6 +759,19 @@ class ExactSampling(_SamplerBase):
 
         x, change_jump = jax.lax.scan(step, x, (ts, hs, keys))
         return x, change_jump
+
+
+# Reference-config alias names. The reference configs ship sampler names that
+# its own registry never registers (its notebooks override cfg.sampler.name at
+# runtime — SURVEY.md §7 "known quirks"): ElboTauL/TauLeaping are TauL runs,
+# CRMLBJF/LBJFSampling/CRMebmLBJF are LBJF runs (the ebm variant picks up the
+# energy logit builder via cfg.model.log_prob). Registering the aliases makes
+# every reference config resolve verbatim.
+registry.samplers.alias("ElboTauL", "TauL")
+registry.samplers.alias("TauLeaping", "TauL")
+registry.samplers.alias("CRMLBJF", "LBJF")
+registry.samplers.alias("LBJFSampling", "LBJF")
+registry.samplers.alias("CRMebmLBJF", "LBJF")
 
 
 def lbjf_corrector_step(cfg, model, params, key, xt, t, h, N, xt_target=None):
