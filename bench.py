@@ -33,6 +33,36 @@ except Exception:
     TORCH_CPU_TRAIN_STEPS_PER_SEC = None
 
 
+# bf16 MXU peak per chip, from the public TPU spec sheets; cost_analysis
+# reports logical flops, so MFU is flops_per_step * steps_per_sec / peak.
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,       # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
+
+
+def _peak_flops():
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "")
+    for k, v in PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return None
+
+
+def _compiled_flops(jitted, *args):
+    """Logical flops of one call via XLA cost analysis (0 if unavailable)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
 def main():
     from ctdd_tpu.config.presets import get_preset
     from ctdd_tpu.losses.losses import get_loss
@@ -64,6 +94,7 @@ def main():
     batch = jax.random.randint(
         jax.random.PRNGKey(9), (cfg.data.batch_size, D), 0, cfg.data.S
     )
+    train_flops = _compiled_flops(step, state, batch, jax.random.PRNGKey(10))
     state, l0 = step(state, batch, jax.random.PRNGKey(10))  # compile
     jax.block_until_ready(l0)
     n_train = 10
@@ -72,6 +103,34 @@ def main():
         state, l = step(state, batch, jax.random.PRNGKey(11 + i))
     jax.block_until_ready(l)
     train_steps_per_sec = n_train / (time.time() - t0)
+    peak = _peak_flops()
+    train_mfu = (
+        round(train_flops * train_steps_per_sec / peak, 4)
+        if peak and train_flops else None
+    )
+
+    # --- bf16 train step (the perf path: cfg.model.compute_dtype) -----------
+    cfg_bf16 = get_preset("tauUnet_mnist")
+    cfg_bf16.model.compute_dtype = "bfloat16"
+    model_b = create_model(cfg_bf16)
+    params_b = model_b.init(jax.random.PRNGKey(0), x, t)
+    state_b = create_train_state(params_b, tx)
+    step_b = make_train_step(
+        model_b, get_loss(cfg_bf16), tx,
+        ema_decay=float(cfg_bf16.model.ema_decay), donate=False,
+    )
+    state_b, lb = step_b(state_b, batch, jax.random.PRNGKey(10))
+    jax.block_until_ready(lb)
+    t0 = time.time()
+    for i in range(n_train):
+        state_b, lb = step_b(state_b, batch, jax.random.PRNGKey(11 + i))
+    jax.block_until_ready(lb)
+    bf16_steps_per_sec = n_train / (time.time() - t0)
+    bf16_mfu = (
+        round(train_flops * bf16_steps_per_sec / peak, 4)
+        if peak and train_flops else None
+    )
+    del state_b, params_b
 
     if os.environ.get("BENCH_TRAIN_ONLY"):
         print(json.dumps({
@@ -82,6 +141,12 @@ def main():
                 round(train_steps_per_sec / TORCH_CPU_TRAIN_STEPS_PER_SEC, 2)
                 if TORCH_CPU_TRAIN_STEPS_PER_SEC else None
             ),
+            "extras": {
+                "train_flops_per_step": train_flops,
+                "train_mfu": train_mfu,
+                "bf16_train_steps_per_sec": round(bf16_steps_per_sec, 4),
+                "bf16_train_mfu": bf16_mfu,
+            },
         }))
         return
 
@@ -89,12 +154,19 @@ def main():
     sampler = get_sampler(cfg)
     key = jax.random.PRNGKey(0)
     sampler.sample(model, params, key, N=N_SAMPLE)  # compile + warmup
+    sample_flops = _compiled_flops(
+        sampler._jitted(model.module, N_SAMPLE, False, 0.0),
+        model.process, params, key, jnp.zeros((N_SAMPLE,), jnp.int32),
+    )
     t0 = time.time()
     n_runs = 3
     for i in range(n_runs):
         sampler.sample(model, params, jax.random.PRNGKey(i + 1), N=N_SAMPLE)
     dt = (time.time() - t0) / n_runs
     samples_per_sec = N_SAMPLE / dt
+    sample_mfu = (
+        round(sample_flops / dt / peak, 4) if peak and sample_flops else None
+    )
 
     vs_baseline = (
         samples_per_sec / TORCH_CPU_SAMPLES_PER_SEC
@@ -117,6 +189,14 @@ def main():
                 else None
             ),
             "device": str(jax.devices()[0]),
+            # flops accounting (XLA cost analysis; MFU vs bf16 MXU peak)
+            "train_flops_per_step": train_flops,
+            "train_mfu": train_mfu,
+            "bf16_train_steps_per_sec": round(bf16_steps_per_sec, 4),
+            "bf16_train_mfu": bf16_mfu,
+            "sample_flops_per_run": sample_flops,
+            "sample_mfu": sample_mfu,
+            "peak_flops": peak,
         },
     }
     print(json.dumps(out))

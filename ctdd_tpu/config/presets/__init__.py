@@ -23,6 +23,7 @@ _PRESETS = {
     "uvit_cifar10": "ctdd_tpu.config.presets.cifar10_uvit",
     # synthetic
     "hollow_synthetic": "ctdd_tpu.config.presets.synthetic_hollow",
+    "hollow_synthetic_rmdirect": "ctdd_tpu.config.presets.synthetic_hollow_rmdirect",
     "bert_synthetic": "ctdd_tpu.config.presets.synthetic_bert",
     "masked_synthetic": "ctdd_tpu.config.presets.synthetic_masked",
     "ebm_synthetic": "ctdd_tpu.config.presets.synthetic_ebm",
@@ -32,6 +33,10 @@ _PRESETS = {
     "hollow_maze": "ctdd_tpu.config.presets.maze_hollow",
     "tauUnet_maze": "ctdd_tpu.config.presets.maze_tau_unet",
     "bert_maze": "ctdd_tpu.config.presets.maze_bert",
+    "protein_maze": "ctdd_tpu.config.presets.maze_protein",
+    "protein_maze_d3pm": "ctdd_tpu.config.presets.maze_protein_d3pm",
+    "bert_mazemasked": "ctdd_tpu.config.presets.maze_bert_masked",
+    "hollow_maze_distr": "ctdd_tpu.config.presets.maze_hollow_distr",
     # sudoku / protein
     "sudoku": "ctdd_tpu.config.presets.sudoku",
     "pianoroll_cond": "ctdd_tpu.config.presets.pianoroll_conditional",

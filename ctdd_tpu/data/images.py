@@ -47,32 +47,10 @@ def _digits_standin(n: int, image_size: int, seed: int = 0) -> Tuple[np.ndarray,
     return imgs[idx], y[idx]
 
 
-def _augment(images: np.ndarray, random_flips: bool, seed: int = 0) -> np.ndarray:
-    """Static horizontal-flip doubling (CIFAR-style; the per-item random flip
-    of the reference becomes a pre-doubled pool — same distribution, zero
-    per-batch cost)."""
-    if not random_flips:
-        return images
-    return np.concatenate([images, images[:, :, ::-1]], axis=0)
-
-
-def _augment_rotations(images: np.ndarray, use_augm: bool, seed: int = 0,
-                       max_deg: float = 10.0) -> np.ndarray:
-    """±10° random-rotation pool (the reference's MNIST 'use_augm' applies
-    torchvision RandomRotation((-10, 10)) per item, mnist.py:67-69,84-85;
-    we pre-generate one rotated copy per image)."""
-    if not use_augm:
-        return images
-    from scipy.ndimage import rotate
-
-    rng = np.random.RandomState(seed)
-    rotated = np.stack(
-        [
-            rotate(img, rng.uniform(-max_deg, max_deg), reshape=False, order=1)
-            for img in images
-        ]
-    ).astype(images.dtype)
-    return np.concatenate([images, rotated], axis=0)
+# NOTE: use_augm transforms (MNIST RandomRotation / CIFAR RandomHorizontal-
+# Flip, ref mnist.py:29-31,67-69) run ON DEVICE inside the jitted train step
+# (ctdd_tpu/data/augment.py) — a fresh random transform per item per step,
+# not a static pre-generated pool. Datasets here return raw images.
 
 
 @registry.datasets.register(name="DiscreteMNIST")
@@ -95,12 +73,8 @@ def discrete_mnist(cfg, root: Optional[str] = None) -> ArrayDataset:
         imgs = np.repeat(np.repeat(imgs, reps, axis=1), reps, axis=2)[
             :, :size, :size
         ]
-    imgs = _augment_rotations(imgs, cfg.data.get("use_augm", False))
     data = imgs[:, None, :, :].astype(np.uint8)  # (N, 1, H, W)
-    labels = np.concatenate([labels, labels])[: len(data)] if len(labels) != len(
-        data
-    ) else labels
-    return ArrayDataset(data, labels.astype(np.int32))
+    return ArrayDataset(data, np.asarray(labels).astype(np.int32))
 
 
 @registry.datasets.register(name="DiscreteCIFAR10")
@@ -116,12 +90,6 @@ def discrete_cifar10(cfg, root: Optional[str] = None) -> ArrayDataset:
     else:
         grey, labels = _digits_standin(int(cfg.data.get("num_samples", 8192)), 32)
         imgs = np.repeat(grey[:, None, :, :], 3, axis=1)
-    imgs = _augment(
-        imgs.transpose(0, 2, 3, 1), cfg.data.get("random_flips", False)
-    ).transpose(0, 3, 1, 2)
-    labels = np.concatenate([labels, labels])[: len(imgs)] if len(labels) != len(
-        imgs
-    ) else labels
     return ArrayDataset(imgs.astype(np.uint8), np.asarray(labels).astype(np.int32))
 
 

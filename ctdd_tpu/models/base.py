@@ -30,12 +30,25 @@ from ctdd_tpu.ops.forward_process import ForwardProcess, build_process
 
 @dataclasses.dataclass(frozen=True)
 class DiffusionModel:
-    """A score network bound to its CTMC forward process."""
+    """A score network bound to its CTMC forward process.
+
+    `bound_label`/`cfg_scale` support label-conditional sampling: samplers
+    call `apply(params, x, t)` with no label argument, so conditioning is
+    bound into the model handle instead. With cfg_scale > 0 the forward is
+    classifier-free guidance in logit space: two passes (conditional and
+    null-label) combined as u + s·(c − u). The reference's forward_with_cfg
+    (lib/networks/dit.py:486-505) guides raw eps channels and is never
+    invoked by any of its samplers; logit-space guidance is the formulation
+    that composes with every discrete sampler here.
+    """
 
     module: nn.Module
     process: ForwardProcess
     cfg: Any
     has_label: bool = False
+    bound_label: Optional[jnp.ndarray] = None
+    cfg_scale: float = 0.0
+    null_label: int = 0  # LabelEmbedder's dropped-label row (num_classes)
 
     # -- network ------------------------------------------------------------
     def init(self, key: jax.Array, x: jnp.ndarray, t: jnp.ndarray, label=None):
@@ -52,8 +65,19 @@ class DiffusionModel:
         rngs: Optional[dict] = None,
     ) -> jnp.ndarray:
         """Network forward -> (B, D, S) logits."""
+        if label is None and self.bound_label is not None:
+            label = self.bound_label
         kwargs: dict = {"train": train}
         if self.has_label and label is not None:
+            if self.cfg_scale > 0.0:
+                cond = self.module.apply(
+                    {"params": params}, x, t, rngs=rngs, label=label, **kwargs
+                )
+                null = jnp.full_like(label, self.null_label)
+                uncond = self.module.apply(
+                    {"params": params}, x, t, rngs=rngs, label=null, **kwargs
+                )
+                return uncond + self.cfg_scale * (cond - uncond)
             kwargs["label"] = label
         return self.module.apply({"params": params}, x, t, rngs=rngs, **kwargs)
 

@@ -170,13 +170,21 @@ _ZOO = {
 }
 
 
+# label-conditional networks: only DiT carries a LabelEmbedder in the
+# reference zoo (dit.py:240; the other wrappers accept y and ignore it)
+_LABEL_MODELS = frozenset({"GaussianDiTEMA"})
+
+
 def _make_builder(name, net_builder, process_name):
     def build(cfg) -> DiffusionModel:
+        has_label = name in _LABEL_MODELS
         if process_name is not None:
             cfg = _with_rate(cfg, process_name)
-            return compose(cfg, net_builder(cfg))
+            return compose(cfg, net_builder(cfg), has_label=has_label)
         # D3PM models carry no CTMC process
-        return DiffusionModel(module=net_builder(cfg), process=None, cfg=cfg)
+        return DiffusionModel(
+            module=net_builder(cfg), process=None, cfg=cfg, has_label=has_label
+        )
 
     build.__name__ = name
     return build

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ctdd_tpu.parallel.mesh import DATA_AXIS
 from ctdd_tpu.training.state import TrainState
-from ctdd_tpu.training.train_step import NAN_SENTINEL
+from ctdd_tpu.training.train_step import apply_update, make_loss_fn
 
 
 def make_dp_train_step(
@@ -30,53 +30,22 @@ def make_dp_train_step(
     ema_decay: float = 0.0,
     has_label: bool = False,
     axis: str = DATA_AXIS,
+    augment_fn=None,
 ) -> Callable:
     """Build `step(state, batch, key[, label]) -> (state, loss)` over a mesh."""
-
-    def loss_fn(params, batch, key, label, n_iter):
-        k_loss, k_dropout = jax.random.split(key)
-        return loss.calc_loss(
-            model, params, k_loss, batch, label=label, n_iter=n_iter,
-            train=True, rngs={"dropout": k_dropout},
-        )
+    loss_fn = make_loss_fn(model, loss, augment_fn)
 
     def per_shard(state: TrainState, batch, key, label):
         idx = jax.lax.axis_index(axis)
         # per-shard AND per-step fold-in: one base key serves the whole run
         key = jax.random.fold_in(jax.random.fold_in(key, state.step), idx)
         l, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, key, label, state.step
+            state.params, batch, key, label if has_label else None, state.step
         )
         # gradient all-reduce over ICI (the one collective needed for parity)
         grads = jax.lax.pmean(grads, axis)
         l = jax.lax.pmean(l, axis)
-
-        ok = jnp.isfinite(l)
-        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_params = jax.tree.map(
-            lambda n, o: jnp.where(ok, n, o), new_params, state.params
-        )
-        new_opt_state = jax.tree.map(
-            lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state
-        )
-        if ema_decay > 0.0:
-            ema, n_updates = state.ema_update(new_params, ema_decay)
-            ema = jax.tree.map(
-                lambda n, o: jnp.where(ok, n, o), ema, state.ema_params
-            )
-            n_updates = jnp.where(ok, n_updates, state.ema_num_updates)
-        else:
-            ema, n_updates = state.ema_params, state.ema_num_updates
-        new_state = TrainState(
-            params=new_params,
-            ema_params=ema,
-            opt_state=new_opt_state,
-            step=state.step + 1,
-            ema_num_updates=n_updates,
-        )
-        return new_state, jnp.where(ok, l, NAN_SENTINEL)
+        return apply_update(state, l, grads, tx, ema_decay)
 
     label_spec = P(axis) if has_label else P()
     shard_fn = jax.shard_map(
@@ -103,7 +72,9 @@ def make_device_data_train_step(
     mesh: Mesh,
     batch_size: int,
     ema_decay: float = 0.0,
+    has_label: bool = False,
     axis: str = DATA_AXIS,
+    augment_fn=None,
 ) -> Callable:
     """DP train step over a device-resident dataset: batch selection happens
     INSIDE the compiled step (uniform-with-replacement indices per shard), so
@@ -112,15 +83,10 @@ def make_device_data_train_step(
     this is the TPU equivalent with the batch gather fused into the step.
 
     Returns step(state, data, key) where `data` is the full (N, ...) dataset
-    already sharded/replicated on the mesh.
+    already sharded/replicated on the mesh — an (x, labels) tuple when
+    `has_label` is set.
     """
-
-    def loss_fn(params, batch, key, n_iter):
-        k_loss, k_dropout = jax.random.split(key)
-        return loss.calc_loss(
-            model, params, k_loss, batch, n_iter=n_iter, train=True,
-            rngs={"dropout": k_dropout},
-        )
+    loss_fn = make_loss_fn(model, loss, augment_fn)
 
     n_dev = mesh.devices.size
     per_shard_batch = batch_size // n_dev
@@ -130,36 +96,16 @@ def make_device_data_train_step(
         idx_dev = jax.lax.axis_index(axis)
         key = jax.random.fold_in(jax.random.fold_in(key, state.step), idx_dev)
         k_idx, k_loss = jax.random.split(key)
-        idx = jax.random.randint(k_idx, (per_shard_batch,), 0, data.shape[0])
-        batch = jnp.take(data, idx, axis=0)
+        x = data[0] if has_label else data
+        idx = jax.random.randint(k_idx, (per_shard_batch,), 0, x.shape[0])
+        batch = jnp.take(x, idx, axis=0)
+        label = jnp.take(data[1], idx, axis=0) if has_label else None
         l, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, k_loss, state.step
+            state.params, batch, k_loss, label, state.step
         )
         grads = jax.lax.pmean(grads, axis)
         l = jax.lax.pmean(l, axis)
-        ok = jnp.isfinite(l)
-        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_params = jax.tree.map(
-            lambda n, o: jnp.where(ok, n, o), new_params, state.params
-        )
-        new_opt_state = jax.tree.map(
-            lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state
-        )
-        if ema_decay > 0.0:
-            ema, n_updates = state.ema_update(new_params, ema_decay)
-            ema = jax.tree.map(
-                lambda n, o: jnp.where(ok, n, o), ema, state.ema_params
-            )
-            n_updates = jnp.where(ok, n_updates, state.ema_num_updates)
-        else:
-            ema, n_updates = state.ema_params, state.ema_num_updates
-        new_state = TrainState(
-            params=new_params, ema_params=ema, opt_state=new_opt_state,
-            step=state.step + 1, ema_num_updates=n_updates,
-        )
-        return new_state, jnp.where(ok, l, NAN_SENTINEL)
+        return apply_update(state, l, grads, tx, ema_decay)
 
     shard_fn = jax.shard_map(
         per_shard,

@@ -286,18 +286,41 @@ class _SamplerBase:
             eps=self.eps_ratio,
         )
 
-    def sample(self, model, params, key, N: int):
-        """Host entry: jits the device loop once per (model, N) and runs it."""
-        out = self._jitted(model.module, N)(model.process, params, key)
+    def sample(self, model, params, key, N: int, label=None,
+               cfg_scale: float = 0.0):
+        """Host entry: jits the device loop once per (model, N) and runs it.
+
+        `label` (per-sample class ids) + `cfg_scale` drive label-conditional
+        generation on label-capable models (DiT): the label is bound into the
+        model handle so every per-step network call — and the final argmax
+        denoise — is conditioned (classifier-free guided when cfg_scale > 0).
+        """
+        with_label = label is not None
+        lab = (
+            jnp.asarray(label, jnp.int32)
+            if with_label
+            else jnp.zeros((N,), jnp.int32)
+        )
+        out = self._jitted(model.module, N, with_label, float(cfg_scale))(
+            model.process, params, key, lab
+        )
         x, diags = out
         return np.asarray(jax.device_get(x)).astype(int), jax.device_get(diags)
 
     @functools.lru_cache(maxsize=8)
-    def _jitted(self, module, N):
+    def _jitted(self, module, N, with_label=False, cfg_scale=0.0):
         from ctdd_tpu.models.base import DiffusionModel
 
-        def run(process, params, key):
-            model = DiffusionModel(module=module, process=process, cfg=self.cfg)
+        def run(process, params, key, label):
+            model = DiffusionModel(
+                module=module, process=process, cfg=self.cfg,
+                has_label=with_label,
+                bound_label=label if with_label else None,
+                cfg_scale=cfg_scale,
+                # DiTWrapper builds LabelEmbedder(num_classes=S); its dropped-
+                # label row is index S (dit.py:240 convention)
+                null_label=self.S,
+            )
             return self._sample_loop(model, params, key, N)
 
         return jax.jit(run)

@@ -30,9 +30,19 @@ from ctdd_tpu.utils import bookkeeping
 
 def _save_sample_grid(cfg, model, state, sampler, writer, png_dir, step,
                       n_samples: int = 16):
-    """Sample with EMA weights, save a PNG grid (train_image.py:123-145)."""
+    """Sample with EMA weights, save a PNG grid (train_image.py:123-145).
+
+    Label-conditional models get one row per class: a class-conditionally
+    trained DiT never sees a no-embedding forward (train always adds a real
+    or null label embedding), so unconditional sampling would be off-
+    distribution."""
+    kwargs = {}
+    if getattr(model, "has_label", False):
+        n_classes = int(cfg.data.get("num_classes", 10))
+        kwargs["label"] = np.arange(n_samples, dtype=np.int32) % n_classes
+        kwargs["cfg_scale"] = float(cfg.sampler.get("cfg_scale", 0.0))
     out = sampler.sample(
-        model, state.ema_params, jax.random.PRNGKey(step), N=n_samples
+        model, state.ema_params, jax.random.PRNGKey(step), N=n_samples, **kwargs
     )
     samples = out[0] if isinstance(out, tuple) else out
     shape = cfg.data.get("shape", None)
@@ -88,6 +98,12 @@ def train(
         seed=seed,
     )
 
+    # label-conditional training path (ref train_image.py:104 passes label
+    # into calc_loss; only label-capable models consume it)
+    has_label = bool(getattr(model, "has_label", False)) and (
+        dataset.labels is not None
+    )
+
     key = jax.random.PRNGKey(seed)
     key, k_init = jax.random.split(key)
     first_batch, first_label = next(batches)
@@ -95,7 +111,10 @@ def train(
     if x0.ndim == 4:
         x0 = x0.reshape(x0.shape[0], -1)
     t0 = jnp.ones((x0.shape[0],), jnp.float32) * 0.5
-    params = model.init(k_init, x0[:2], t0[:2])
+    init_label = (
+        jnp.asarray(first_label[:2], jnp.int32) if has_label else None
+    )
+    params = model.init(k_init, x0[:2], t0[:2], label=init_label)
     state = create_train_state(params, tx)
 
     if resume_from is not None:
@@ -110,41 +129,51 @@ def train(
     #   dataset arg measured ~2 s/step through the tunnel);
     # - multi-device meshes use the shard_map DP paths (the pod-scale path).
     device_data_cap = int(cfg.training.get("device_data_bytes", 512 * 2**20))
-    # labels are not consumed by any loss this loop drives (the reference's
-    # label-aware path, NLLOriginal, is script-driven there too), so the
-    # device-data fast path applies regardless of dataset.labels
     device_data = (
         bool(cfg.training.get("device_data", True))
         and dataset.data.nbytes <= device_data_cap
     )
     ema_decay = float(cfg.model.get("ema_decay", 0.0))
     single = mesh.devices.size == 1
+    # on-device augmentation (fresh per-item transform per step, the
+    # reference's per-__getitem__ torchvision semantics; data/augment.py)
+    from ctdd_tpu.data.augment import make_augment_fn
+
+    augment_fn = make_augment_fn(cfg)
     if device_data and single:
         from ctdd_tpu.training.train_step import make_device_data_step
 
-        data_on_device = jnp.asarray(
-            dataset.data.reshape(len(dataset), -1).astype(np.int32)
+        flat = jnp.asarray(dataset.data.reshape(len(dataset), -1).astype(np.int32))
+        data_on_device = (
+            (flat, jnp.asarray(dataset.labels, jnp.int32)) if has_label else flat
         )
         step_fn = make_device_data_step(
             model, loss, tx, batch_size=cfg.data.batch_size,
-            ema_decay=ema_decay,
+            ema_decay=ema_decay, has_label=has_label, augment_fn=augment_fn,
         )
     elif device_data:
         flat = dataset.data.reshape(len(dataset), -1).astype(np.int32)
-        data_on_device = jax.device_put(
-            flat, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-        )
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        data_on_device = jax.device_put(flat, repl)
+        if has_label:
+            data_on_device = (
+                data_on_device,
+                jax.device_put(np.asarray(dataset.labels, np.int32), repl),
+            )
         step_fn = make_device_data_train_step(
             model, loss, tx, mesh, batch_size=cfg.data.batch_size,
-            ema_decay=ema_decay,
+            ema_decay=ema_decay, has_label=has_label, augment_fn=augment_fn,
         )
     elif single:
         from ctdd_tpu.training.train_step import make_train_step
 
-        step_fn = make_train_step(model, loss, tx, ema_decay=ema_decay)
+        step_fn = make_train_step(
+            model, loss, tx, ema_decay=ema_decay, augment_fn=augment_fn
+        )
     else:
         step_fn = make_dp_train_step(
-            model, loss, tx, mesh, ema_decay=ema_decay, has_label=False
+            model, loss, tx, mesh, ema_decay=ema_decay, has_label=has_label,
+            augment_fn=augment_fn,
         )
 
     preempt = bookkeeping.PreemptionHandler(paths["root"])
@@ -169,7 +198,11 @@ def train(
         else:
             batch, label = next(batches)
             batch = shard_batch(np.asarray(batch), mesh)
-            state, l = step_fn(state, batch, key)
+            if has_label:
+                label = shard_batch(np.asarray(label, np.int32), mesh)
+                state, l = step_fn(state, batch, key, label)
+            else:
+                state, l = step_fn(state, batch, key)
         if profile_steps and it == profile_steps[1]:
             jax.block_until_ready(l)
             jax.profiler.stop_trace()

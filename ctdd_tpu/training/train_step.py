@@ -4,8 +4,12 @@ Counterpart of reference lib/training/training.py:7-40 (`Standard.step`):
 loss -> nan/inf guard (1e9 sentinel, step skipped) -> grad clip -> warmup lr
 -> Adam -> EMA update. Here the whole step — including the loss' categorical
 sampling and the network fwd/bwd — is one compiled XLA program, and the
-data-parallel version (ctdd_tpu.parallel) wraps this same function in
-shard_map with a psum gradient reduction.
+data-parallel version (ctdd_tpu.parallel) wraps the same update in shard_map
+with a psum gradient reduction.
+
+Labels: when `has_label` is set, the batch carries (x, y) and y is threaded
+into `loss.calc_loss(label=...)` — the reference train scripts pass labels
+the same way (train_image.py:104 -> losses.py NLLOriginal:1048-1103).
 """
 
 from __future__ import annotations
@@ -22,27 +26,67 @@ from ctdd_tpu.training.state import TrainState
 NAN_SENTINEL = 1e9  # reference training.py:24
 
 
+def make_loss_fn(model, loss, augment_fn=None):
+    """(params, batch, key, label, n_iter) -> scalar loss, dropout rng split.
+
+    `augment_fn(key, batch)` runs on-device per step (fresh random transform
+    per item, the reference's per-__getitem__ torchvision semantics)."""
+
+    def loss_fn(params, batch, key, label, n_iter):
+        k_loss, k_dropout = jax.random.split(key)
+        if augment_fn is not None:
+            k_aug, k_loss = jax.random.split(k_loss)
+            batch = augment_fn(k_aug, batch)
+        return loss.calc_loss(
+            model, params, k_loss, batch, label=label, n_iter=n_iter,
+            train=True, rngs={"dropout": k_dropout},
+        )
+
+    return loss_fn
+
+
+def apply_update(state: TrainState, l, grads, tx, ema_decay: float):
+    """Shared optimizer/EMA update with the NaN/Inf skip guard
+    (training.py:22-26): on a non-finite loss the step is a no-op and the
+    sentinel is surfaced."""
+    ok = jnp.isfinite(l)
+    grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_params = jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), new_params, state.params
+    )
+    new_opt_state = jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state
+    )
+    if ema_decay > 0.0:
+        ema, n_updates = state.ema_update(new_params, ema_decay)
+        ema = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), ema, state.ema_params
+        )
+        n_updates = jnp.where(ok, n_updates, state.ema_num_updates)
+    else:
+        ema, n_updates = state.ema_params, state.ema_num_updates
+    new_state = TrainState(
+        params=new_params,
+        ema_params=ema,
+        opt_state=new_opt_state,
+        step=state.step + 1,
+        ema_num_updates=n_updates,
+    )
+    return new_state, jnp.where(ok, l, NAN_SENTINEL)
+
+
 def make_train_step(
     model,
     loss,
     tx: optax.GradientTransformation,
     ema_decay: float = 0.0,
     donate: bool = True,
+    augment_fn=None,
 ) -> Callable:
     """Build `step(state, batch, key, label=None) -> (state, loss)` (jitted)."""
-
-    def loss_fn(params, batch, key, label, n_iter):
-        k_loss, k_dropout = jax.random.split(key)
-        return loss.calc_loss(
-            model,
-            params,
-            k_loss,
-            batch,
-            label=label,
-            n_iter=n_iter,
-            train=True,
-            rngs={"dropout": k_dropout},
-        )
+    loss_fn = make_loss_fn(model, loss, augment_fn)
 
     def step(state: TrainState, batch, key, label=None):
         # fold the step counter in on-device: callers can pass one base key
@@ -51,33 +95,7 @@ def make_train_step(
         l, grads = jax.value_and_grad(loss_fn)(
             state.params, batch, key, label, state.step
         )
-        # nan/inf guard: skip the update, surface the sentinel (training.py:22-26)
-        ok = jnp.isfinite(l)
-        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_params = jax.tree.map(
-            lambda n, o: jnp.where(ok, n, o), new_params, state.params
-        )
-        new_opt_state = jax.tree.map(
-            lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state
-        )
-        if ema_decay > 0.0:
-            tmp = state.replace(params=new_params)
-            ema, n_updates = tmp.ema_update(new_params, ema_decay)
-            ema = jax.tree.map(lambda n, o: jnp.where(ok, n, o), ema, state.ema_params)
-            n_updates = jnp.where(ok, n_updates, state.ema_num_updates)
-        else:
-            ema, n_updates = state.ema_params, state.ema_num_updates
-        new_state = TrainState(
-            params=new_params,
-            ema_params=ema,
-            opt_state=new_opt_state,
-            step=state.step + 1,
-            ema_num_updates=n_updates,
-        )
-        out_loss = jnp.where(ok, l, NAN_SENTINEL)
-        return new_state, out_loss
+        return apply_update(state, l, grads, tx, ema_decay)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -88,6 +106,8 @@ def make_device_data_step(
     tx: optax.GradientTransformation,
     batch_size: int,
     ema_decay: float = 0.0,
+    has_label: bool = False,
+    augment_fn=None,
 ) -> Callable:
     """Single-device step over a device-resident dataset.
 
@@ -96,47 +116,22 @@ def make_device_data_step(
     per-step data work (a per-step host->device device_put costs ~175 ms
     through this dev box's tunnel; in-jit gather measured 23.6 ms/step for
     the MNIST flagship). The reference preloads its datasets onto the
-    accelerator the same way (mnist.py:62).
+    accelerator the same way (mnist.py:62). With `has_label`, `data` is an
+    (x, labels) tuple gathered with the same indices.
     """
-
-    def loss_fn(params, batch, key, n_iter):
-        k_loss, k_dropout = jax.random.split(key)
-        return loss.calc_loss(
-            model, params, k_loss, batch, n_iter=n_iter, train=True,
-            rngs={"dropout": k_dropout},
-        )
+    loss_fn = make_loss_fn(model, loss, augment_fn)
 
     def step(state: TrainState, data, key):
         key = jax.random.fold_in(key, state.step)
         k_idx, k_loss = jax.random.split(key)
-        idx = jax.random.randint(k_idx, (batch_size,), 0, data.shape[0])
-        batch = jnp.take(data, idx, axis=0)
+        x = data[0] if has_label else data
+        idx = jax.random.randint(k_idx, (batch_size,), 0, x.shape[0])
+        batch = jnp.take(x, idx, axis=0)
+        label = jnp.take(data[1], idx, axis=0) if has_label else None
         l, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, k_loss, state.step
+            state.params, batch, k_loss, label, state.step
         )
-        ok = jnp.isfinite(l)
-        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_params = jax.tree.map(
-            lambda n, o: jnp.where(ok, n, o), new_params, state.params
-        )
-        new_opt_state = jax.tree.map(
-            lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state
-        )
-        if ema_decay > 0.0:
-            ema, n_updates = state.ema_update(new_params, ema_decay)
-            ema = jax.tree.map(
-                lambda n, o: jnp.where(ok, n, o), ema, state.ema_params
-            )
-            n_updates = jnp.where(ok, n_updates, state.ema_num_updates)
-        else:
-            ema, n_updates = state.ema_params, state.ema_num_updates
-        new_state = TrainState(
-            params=new_params, ema_params=ema, opt_state=new_opt_state,
-            step=state.step + 1, ema_num_updates=n_updates,
-        )
-        return new_state, jnp.where(ok, l, NAN_SENTINEL)
+        return apply_update(state, l, grads, tx, ema_decay)
 
     return jax.jit(step, donate_argnums=(0,))
 

@@ -1,17 +1,28 @@
 """Evaluation CLI: sample from a checkpoint and compute metrics.
 
-Covers the reference's eval_synthetic.py (MMD) and the notebook-driven image
-eval (sample grids; FID when an InceptionV3 checkpoint / feature stats are
-provided) plus maze/sudoku accuracy.
+Covers the reference's eval_synthetic.py (MMD, 25 rounds x 4096 samples,
+eval_synthetic.py:159-164) and the notebook-driven image eval
+(sample_notebook.ipynb -> evaluate_fid_score, lib/datasets/mnist_fid.py:156-193)
+plus maze/sudoku accuracy — all as one command.
 
 Usage:
-  python eval.py --preset mlp_synthetic --ckpt runs/.../checkpoints \
-      --metric mmd --rounds 25 --samples 4096
+  python eval.py --preset mlp_synthetic --ckpt runs/.../checkpoints --metric mmd
+  python eval.py --preset tauUnet_mnist --ckpt ... --metric fid \
+      --samples 4096 --set sampler.name=MidPointTauL
+  python eval.py --preset dit_mnist --ckpt ... --metric save_samples \
+      --label 0,1,2,3 --cfg-scale 2.0
+
+FID feature extractor: InceptionV3-pool3 when weights are available
+(--inception-weights or $CTDD_INCEPTION_NPZ pointing at a converted npz —
+scripts/convert_inception_weights.py), else a fixed-seed random-conv "lenet"
+feature net with a loud warning (relative signal only; see PARITY.md).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -23,12 +34,33 @@ def main():
     ap.add_argument("--preset", required=True)
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--metric", default="mmd",
-                    choices=["mmd", "maze_acc", "sudoku_acc", "save_samples"])
-    ap.add_argument("--rounds", type=int, default=10)
-    ap.add_argument("--samples", type=int, default=1024)
-    ap.add_argument("--use-ema", action="store_true", default=True)
+                    choices=["mmd", "fid", "maze_acc", "sudoku_acc",
+                             "save_samples"])
+    # reference MMD protocol: 25 rounds x 4096 samples (eval_synthetic.py:159)
+    ap.add_argument("--rounds", type=int, default=25)
+    ap.add_argument("--samples", type=int, default=4096)
+    ap.add_argument("--use-ema", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="evaluate EMA params (default) or raw params")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="sampling batch size (0 = all at once)")
+    ap.add_argument("--label", default=None,
+                    help="comma-separated class labels to condition on "
+                         "(cycled over the sample batch); requires a "
+                         "label-conditional model (e.g. DiT)")
+    ap.add_argument("--cfg-scale", type=float, default=0.0,
+                    help="classifier-free guidance scale (0 = plain "
+                         "conditional forward)")
+    ap.add_argument("--inception-weights", default=None,
+                    help="path to converted InceptionV3 weights npz for FID")
     ap.add_argument("--out", default="samples.npy")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--set", nargs="*", default=None,
+                    help="key=value config overrides (e.g. "
+                         "sampler.name=MidPointTauL sampler.num_steps=1000)")
     args = ap.parse_args()
+
+    from train import apply_overrides, parse_overrides
 
     from ctdd_tpu.config.presets import get_preset
     from ctdd_tpu.data.loaders import get_dataset
@@ -38,15 +70,28 @@ def main():
     from ctdd_tpu.training.state import create_train_state
     from ctdd_tpu.utils.bookkeeping import CheckpointManager
 
-    cfg = get_preset(args.preset)
+    cfg = apply_overrides(get_preset(args.preset), parse_overrides(args.set))
     model = create_model(cfg)
     D = cfg.model.concat_dim
+    # label-capable models (DiT) carry LabelEmbedder params: init must trace
+    # the label path for the checkpoint's pytree structure to match
+    init_label = (
+        jnp.zeros((2,), jnp.int32) if getattr(model, "has_label", False) else None
+    )
     params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((2, D), jnp.int32), jnp.full((2,), 0.5)
+        jax.random.PRNGKey(0), jnp.zeros((2, D), jnp.int32),
+        jnp.full((2,), 0.5), label=init_label,
     )
     state = create_train_state(params, get_optimizer(cfg))
     state = CheckpointManager(args.ckpt).restore(state)
     params = state.ema_params if args.use_ema else state.params
+    print(f"restored step={int(state.step)} "
+          f"params={'ema' if args.use_ema else 'raw'}")
+
+    label = None
+    if args.label is not None:
+        classes = np.asarray([int(c) for c in args.label.split(",")], np.int32)
+        label = lambda n: jnp.asarray(np.resize(classes, n))  # noqa: E731
 
     if cfg.loss.name == "d3pm":
         # D3PM models carry no CTMC process; sample ancestrally
@@ -54,7 +99,6 @@ def main():
         from ctdd_tpu.d3pm.diffusion import make_diffusion
 
         diffusion = make_diffusion(cfg.model)
-        D = cfg.model.concat_dim
 
         def sample_fn(key, n):
             def model_fn(x, t):
@@ -67,9 +111,23 @@ def main():
         sampler = get_sampler(cfg)
 
         def sample_fn(key, n):
-            out = sampler.sample(model, params, key, N=n)
+            kwargs = {}
+            if label is not None:
+                kwargs = {"label": label(n), "cfg_scale": args.cfg_scale}
+            out = sampler.sample(model, params, key, N=n, **kwargs)
             return out[0] if isinstance(out, tuple) else out
 
+    if args.batch:
+        inner, bs = sample_fn, args.batch
+
+        def sample_fn(key, n):  # noqa: F811
+            outs = []
+            for i in range(0, n, bs):
+                key, k = jax.random.split(key)
+                outs.append(inner(k, min(bs, n - i)))
+            return np.concatenate(outs, axis=0)
+
+    key = jax.random.PRNGKey(args.seed)
     if args.metric == "mmd":
         from ctdd_tpu.metrics.mmd import eval_mmd
 
@@ -78,18 +136,54 @@ def main():
             cfg, sample_fn, dataset, n_rounds=args.rounds, n_samples=args.samples
         )
         print(f"MMD: {mmd:.6f}")
+    elif args.metric == "fid":
+        # reference image-eval protocol: sampled images vs training images,
+        # InceptionV3-pool3 features over [0,1]-normalized 3-channel inputs
+        # (sample_notebook.ipynb -> mnist_fid.evaluate_fid_score :156-193)
+        from ctdd_tpu.metrics.fid import evaluate_fid_score
+
+        weights = args.inception_weights or os.environ.get(
+            "CTDD_INCEPTION_NPZ", ""
+        )
+        if weights and os.path.isfile(weights):
+            kind = "inception"
+        else:
+            kind = "lenet"
+            print(
+                "WARNING: no InceptionV3 weights found — falling back to the "
+                "fixed-seed random-conv feature net. The number below is a "
+                "RELATIVE quality signal, NOT comparable to published "
+                "Inception FIDs. Drop in converted weights (see "
+                "scripts/convert_inception_weights.py) and pass "
+                "--inception-weights to reproduce the reference protocol.",
+                file=sys.stderr,
+            )
+        dataset = get_dataset(cfg)
+        shape = tuple(cfg.data.shape)  # (C, H, W)
+        samples = sample_fn(key, args.samples).reshape((-1,) + shape)
+        n_real = min(len(dataset.data), max(args.samples, 4096))
+        idx = np.random.RandomState(args.seed).choice(
+            len(dataset.data), size=n_real, replace=False
+        )
+        real = dataset.data[idx].reshape((-1,) + shape)
+        fid = evaluate_fid_score(
+            samples, real, feature_kind=kind,
+            weights_path=weights if kind == "inception" else None,
+        )
+        print(f"FID ({kind}): {fid:.4f}  [n_samples={len(samples)} "
+              f"n_real={n_real} sampler={cfg.sampler.name}]")
     elif args.metric == "maze_acc":
         from ctdd_tpu.data.maze import maze_acc
 
-        s = sample_fn(jax.random.PRNGKey(0), args.samples)
+        s = sample_fn(key, args.samples)
         print(f"maze_acc: {maze_acc(s):.4f}")
     elif args.metric == "sudoku_acc":
         from ctdd_tpu.data.sudoku import sudoku_acc
 
-        s = sample_fn(jax.random.PRNGKey(0), args.samples)
+        s = sample_fn(key, args.samples)
         print(f"sudoku_acc: {sudoku_acc(s):.4f}")
     else:
-        s = sample_fn(jax.random.PRNGKey(0), args.samples)
+        s = sample_fn(key, args.samples)
         np.save(args.out, s)
         print(f"saved {s.shape} -> {args.out}")
 
