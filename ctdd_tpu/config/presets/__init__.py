@@ -13,6 +13,7 @@ import importlib
 _PRESETS = {
     # mnist
     "tauUnet_mnist": "ctdd_tpu.config.presets.mnist_tau_unet",
+    "tauUnet_mnist_ll": "ctdd_tpu.config.presets.mnist_tau_unet_ll",
     "hollow_mnist": "ctdd_tpu.config.presets.mnist_hollow",
     "bert_mnist": "ctdd_tpu.config.presets.mnist_bert",
     "dit_mnist": "ctdd_tpu.config.presets.mnist_dit",

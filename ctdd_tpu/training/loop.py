@@ -213,6 +213,13 @@ def train(
             lv = float(l)
             losses.append(lv)
             writer.add_scalar("loss", lv, it + 1)
+            now = time.time()
+            rate = (it + 1 - n_start) / max(now - (t_post_compile or t_start), 1e-9)
+            print(
+                f"iter {it + 1}/{n_iters} loss {lv:.5f} "
+                f"({rate:.1f} steps/s)",
+                flush=True,
+            )
         if (it + 1) % checkpoint_freq == 0:
             ckpt.save(it + 1, state)
         # periodic sample grids with EMA weights (train_image.py:123-145)
