@@ -264,6 +264,37 @@ class _SamplerBase:
         # num_corrector_steps=10, i.e. a corrector that never runs
         if self.corrector_entry_time < self.min_t:
             self.num_corrector_steps = 0
+        # fused single-kernel tau-leap update (ops/fused_update.py): applies
+        # on the p0t path with per-dim categorical logits; uses the Pallas
+        # kernel on TPU when S is lane-aligned, the bit-faithful XLA mirror
+        # otherwise (so the flag is testable on CPU)
+        self.use_fused_update = bool(cfg.sampler.get("use_fused_update", False))
+
+    def _fused_applicable(self):
+        return (
+            self.use_fused_update
+            and self.rate_param == "p0t"
+            and self.log_prob_kind == "cat"
+        )
+
+    def _fused_step(self, logits, x_gather, x_base, qt0, rate, h, key_or_seed,
+                    *, mode):
+        from ctdd_tpu.ops import fused_update as _fu
+
+        if jax.default_backend() == "tpu" and self.S % 128 == 0:
+            seed = (
+                0 if mode == "expected"
+                else jax.random.randint(key_or_seed, (), 0, 2**31 - 1)
+            )
+            return _fu.fused_tau_leap_update(
+                logits, x_gather, x_base, qt0, rate, h, self.eps_ratio, seed,
+                mode=mode, is_ordinal=self.is_ordinal,
+            )
+        return _fu.fused_tau_leap_update_xla(
+            logits, x_gather, x_base, qt0, rate, h, self.eps_ratio,
+            key=None if mode == "expected" else key_or_seed, mode=mode,
+            is_ordinal=self.is_ordinal,
+        )
 
     def _net_logits(self, model, params, x, t_ones):
         """(N, D, S) logits; EBM energies routed through the mutation
@@ -354,11 +385,18 @@ class TauL(_SamplerBase):
             t, h, k = inp
             k_jump, k_corr = jax.random.split(k)
             t_ones = t * jnp.ones((N,), jnp.float32)
-            rev = self._rev_rates(model, params, x, t_ones)
-            rev = rev * indexing.onehot_mask(x, S)
-            x_new = _poisson_jump_update(
-                k_jump, x, rev, h, S, self.is_ordinal, self.exact_poisson
-            )
+            if self._fused_applicable():
+                logits = self._net_logits(model, params, x, t_ones)
+                qt0, rate = _shared_mats(model.process, t)
+                x_new = self._fused_step(
+                    logits, x, x, qt0, rate, h, k_jump, mode="poisson"
+                )
+            else:
+                rev = self._rev_rates(model, params, x, t_ones)
+                rev = rev * indexing.onehot_mask(x, S)
+                x_new = _poisson_jump_update(
+                    k_jump, x, rev, h, S, self.is_ordinal, self.exact_poisson
+                )
             changes = jnp.sum(x != x_new) / N
 
             if self.num_corrector_steps > 0:
@@ -483,6 +521,23 @@ class MidPointTauL(_SamplerBase):
             t, k = inp
             t_ones = t * jnp.ones((N,), jnp.float32)
             t_05 = t_ones - 0.5 * h
+
+            if self._fused_applicable():
+                # half-step expected drift -> x' (one fused kernel)
+                logits = self._net_logits(model, params, x, t_ones)
+                qt0, rate = _shared_mats(model.process, t)
+                x_prime = self._fused_step(
+                    logits, x, x, qt0, rate, 0.5 * h, k, mode="expected"
+                )
+                # full Poisson step with rates at (x', t - h/2), from x
+                logits_p = self._net_logits(model, params, x_prime, t_05)
+                qt0_05, rate_05 = _shared_mats(model.process, t_05[0])
+                x_new = self._fused_step(
+                    logits_p, x_prime, x, qt0_05, rate_05, h, k,
+                    mode="poisson",
+                )
+                changes = jnp.sum(x != x_new) / (N * D)
+                return x_new, changes
 
             # half-step expected drift -> x'
             rev = self._rev_rates(model, params, x, t_ones)

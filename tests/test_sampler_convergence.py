@@ -201,3 +201,18 @@ def test_exact_sampler_matches_forward_marginals():
     samples, _ = sampler.sample(model, params, jax.random.PRNGKey(1), N=4)
     hist = np.bincount(samples.ravel(), minlength=S) / samples.size
     np.testing.assert_allclose(hist, 1.0 / S, atol=0.02)
+
+
+@pytest.mark.parametrize("sampler_name", ["TauL", "MidPointTauL"])
+def test_oracle_convergence_with_fused_update(sampler_name):
+    """cfg.sampler.use_fused_update routes TauL/MidPointTauL through the
+    fused tau-leap update (ops/fused_update.py; XLA mirror on CPU) and must
+    reach the same oracle fixed point."""
+    cfg, model, params = oracle_setup("NLLOriginal", sampler_name)
+    cfg.sampler.use_fused_update = True
+    sampler = get_sampler(cfg)
+    assert sampler._fused_applicable()
+    out = sampler.sample(model, params, jax.random.PRNGKey(0), N=32)
+    samples = out[0] if isinstance(out, tuple) else out
+    frac_zero = float(np.mean(samples == 0))
+    assert frac_zero > 0.9, f"{sampler_name}: {frac_zero}"
