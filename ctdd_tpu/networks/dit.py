@@ -94,20 +94,25 @@ class Attention(nn.Module):
 
     dim: int
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         hs = C // self.num_heads
-        qkv = nn.Dense(3 * C, kernel_init=xavier)(x)
+        qkv = nn.Dense(3 * C, kernel_init=xavier, dtype=self.dtype)(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, hs)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         att = jnp.einsum(
             "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
         ) / math.sqrt(hs)
-        att = jax.nn.softmax(att, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", att, v).reshape(B, N, C)
-        return nn.Dense(C, kernel_init=xavier)(out)
+        att = jax.nn.softmax(att, axis=-1).astype(self.dtype)
+        out = jnp.einsum(
+            "bhnm,bmhd->bnhd", att, v, preferred_element_type=jnp.float32
+        ).reshape(B, N, C)
+        return nn.Dense(C, kernel_init=xavier, dtype=self.dtype)(
+            out
+        ).astype(jnp.float32)
 
 
 class DiTBlock(nn.Module):
@@ -116,6 +121,7 @@ class DiTBlock(nn.Module):
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, c):
@@ -126,15 +132,18 @@ class DiTBlock(nn.Module):
         )(nn.silu(c))
         s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = jnp.split(mods, 6, axis=-1)
         h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
-        x = x + g_msa[:, None, :] * Attention(self.hidden_size, self.num_heads)(
-            modulate(h, s_msa, sc_msa)
-        )
+        x = x + g_msa[:, None, :] * Attention(
+            self.hidden_size, self.num_heads, dtype=self.dtype
+        )(modulate(h, s_msa, sc_msa))
         h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
         h = modulate(h, s_mlp, sc_mlp)
-        h = nn.Dense(int(self.hidden_size * self.mlp_ratio), kernel_init=xavier)(h)
-        h = nn.Dense(self.hidden_size, kernel_init=xavier)(
+        h = nn.Dense(
+            int(self.hidden_size * self.mlp_ratio), kernel_init=xavier,
+            dtype=self.dtype,
+        )(h)
+        h = nn.Dense(self.hidden_size, kernel_init=xavier, dtype=self.dtype)(
             nn.gelu(h, approximate=True)
-        )
+        ).astype(jnp.float32)
         return x + g_mlp[:, None, :] * h
 
 
@@ -179,6 +188,7 @@ class DiT(nn.Module):
     class_dropout_prob: float
     num_classes: int
     model_output: str
+    dtype: jnp.dtype = jnp.float32  # bf16 = MXU fast path; norms/head f32
 
     @nn.compact
     def __call__(self, x, t, y=None, train: bool = False):
@@ -203,7 +213,10 @@ class DiT(nn.Module):
             )(y, train=train)
 
         for _ in range(self.depth):
-            h = DiTBlock(self.hidden_size, self.num_heads, self.mlp_ratio)(h, c)
+            h = DiTBlock(
+                self.hidden_size, self.num_heads, self.mlp_ratio,
+                dtype=self.dtype,
+            )(h, c)
         h = FinalLayer(self.hidden_size, p, self.in_channels)(h, c)
 
         # unpatchify -> (B, H, W, C)
@@ -272,6 +285,9 @@ class DiTWrapper(nn.Module):
             class_dropout_prob=cfg.model.dropout,
             num_classes=S,
             model_output=cfg.model.model_output,
+            dtype=jnp.bfloat16
+            if cfg.model.get("compute_dtype", "float32") == "bfloat16"
+            else jnp.float32,
         )
         out = net(img, t, y=label, train=train)  # (B, H, W, C·S or 2·C)
         if cfg.model.model_output == "logits":

@@ -33,6 +33,7 @@ class NiN(nn.Module):
 
     out_ch: int
     init_scale: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -41,7 +42,8 @@ class NiN(nn.Module):
         )
         b = self.param("b", nn.initializers.zeros, (self.out_ch,))
         return jnp.einsum(
-            "bhwi,ik->bhwk", x, W, preferred_element_type=jnp.float32
+            "bhwi,ik->bhwk", x.astype(self.dtype), W.astype(self.dtype),
+            preferred_element_type=jnp.float32,
         ) + b
 
 
@@ -49,22 +51,27 @@ class AttnBlock(nn.Module):
     """Spatial self-attention with NiN projections (tau_networks.py:74-106)."""
 
     skip_rescale: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6)(x)
-        q = NiN(C)(h)
-        k = NiN(C)(h)
-        v = NiN(C)(h)
+        q = NiN(C, dtype=self.dtype)(h)
+        k = NiN(C, dtype=self.dtype)(h)
+        v = NiN(C, dtype=self.dtype)(h)
         w = jnp.einsum(
-            "bhwc,bijc->bhwij", q, k, preferred_element_type=jnp.float32
+            "bhwc,bijc->bhwij", q.astype(self.dtype), k.astype(self.dtype),
+            preferred_element_type=jnp.float32,
         ) * (C ** -0.5)
         w = jax.nn.softmax(w.reshape(B, H, W, H * W), axis=-1).reshape(
             B, H, W, H, W
         )
-        h = jnp.einsum("bhwij,bijc->bhwc", w, v)
-        h = NiN(C, init_scale=0.0)(h)
+        h = jnp.einsum(
+            "bhwij,bijc->bhwc", w.astype(self.dtype), v.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        h = NiN(C, init_scale=0.0, dtype=self.dtype)(h)
         out = x + h
         return out / math.sqrt(2.0) if self.skip_rescale else out
 
@@ -75,20 +82,26 @@ class TauResBlock(nn.Module):
     out_ch: int
     dropout: float
     skip_rescale: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None, train: bool = False):
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6)(x)
-        h = nn.Conv(self.out_ch, (3, 3), padding="SAME")(nn.silu(h))
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype)(
+            nn.silu(h)
+        )
         if temb is not None:
-            h = h + nn.Dense(self.out_ch)(nn.silu(temb))[:, None, None, :]
+            h = h + nn.Dense(self.out_ch, dtype=self.dtype)(
+                nn.silu(temb)
+            )[:, None, None, :].astype(h.dtype)
+        h = h.astype(jnp.float32)
         h = nn.GroupNorm(num_groups=min(self.out_ch // 4, 32), epsilon=1e-6)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(nn.silu(h))
-        h = nn.Conv(self.out_ch, (3, 3), padding="SAME")(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype)(h)
         if self.out_ch != in_ch:
-            x = NiN(self.out_ch)(x)
-        out = x + h
+            x = NiN(self.out_ch, dtype=self.dtype)(x)
+        out = x + h.astype(jnp.float32)
         return out / math.sqrt(2.0) if self.skip_rescale else out
 
 
@@ -107,9 +120,11 @@ class TauUNet(nn.Module):
     do_time_embed: bool
     time_scale_factor: float
     time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32  # bfloat16 = MXU fast path; norms/head f32
 
     @nn.compact
     def __call__(self, x, t, train: bool = False):
+        dt = self.dtype
         h = center_data(x, self.data_min_max)
         centered_x_in = h
 
@@ -118,45 +133,53 @@ class TauUNet(nn.Module):
             temb = timestep_embedding(
                 t * self.time_scale_factor, self.time_embed_dim
             )
-            temb = nn.Dense(4 * self.time_embed_dim)(temb)
-            temb = nn.Dense(4 * self.time_embed_dim)(nn.silu(temb))
+            temb = nn.Dense(4 * self.time_embed_dim, dtype=dt)(temb)
+            temb = nn.Dense(4 * self.time_embed_dim, dtype=dt)(nn.silu(temb))
 
-        h = nn.Conv(self.ch, (3, 3), padding="SAME")(h)
+        h = nn.Conv(self.ch, (3, 3), padding="SAME", dtype=dt)(h)
+        h = h.astype(jnp.float32)
         hs = [h]
         in_ch = self.ch
         for scale in range(self.num_scales):
             for _ in range(self.num_res_blocks):
                 out_ch = self.ch * self.ch_mult[scale]
-                h = TauResBlock(out_ch, self.dropout, self.skip_rescale)(
-                    h, temb, train
-                )
+                h = TauResBlock(
+                    out_ch, self.dropout, self.skip_rescale, dtype=dt
+                )(h, temb, train)
                 if scale == self.scale_count_to_put_attn:
-                    h = AttnBlock(self.skip_rescale)(h)
+                    h = AttnBlock(self.skip_rescale, dtype=dt)(h)
                 hs.append(h)
             if scale != self.num_scales - 1:
                 # pad (0,1,0,1) + stride-2 conv (:168-180)
                 hp = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
                 h = nn.Conv(
-                    h.shape[-1], (3, 3), strides=(2, 2), padding="VALID"
-                )(hp)
+                    h.shape[-1], (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=dt,
+                )(hp).astype(jnp.float32)
                 hs.append(h)
 
-        h = TauResBlock(h.shape[-1], self.dropout, self.skip_rescale)(h, temb, train)
-        h = AttnBlock(self.skip_rescale)(h)
-        h = TauResBlock(h.shape[-1], self.dropout, self.skip_rescale)(h, temb, train)
+        h = TauResBlock(
+            h.shape[-1], self.dropout, self.skip_rescale, dtype=dt
+        )(h, temb, train)
+        h = AttnBlock(self.skip_rescale, dtype=dt)(h)
+        h = TauResBlock(
+            h.shape[-1], self.dropout, self.skip_rescale, dtype=dt
+        )(h, temb, train)
 
         for scale in reversed(range(self.num_scales)):
             for _ in range(self.num_res_blocks + 1):
                 out_ch = self.ch * self.ch_mult[scale]
-                h = TauResBlock(out_ch, self.dropout, self.skip_rescale)(
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train
-                )
+                h = TauResBlock(
+                    out_ch, self.dropout, self.skip_rescale, dtype=dt
+                )(jnp.concatenate([h, hs.pop()], axis=-1), temb, train)
                 if scale == self.scale_count_to_put_attn:
-                    h = AttnBlock(self.skip_rescale)(h)
+                    h = AttnBlock(self.skip_rescale, dtype=dt)(h)
             if scale != 0:
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, 2 * H, 2 * W, C), method="nearest")
-                h = nn.Conv(C, (3, 3), padding="SAME")(h)
+                h = nn.Conv(C, (3, 3), padding="SAME", dtype=dt)(
+                    h
+                ).astype(jnp.float32)
 
         h = nn.GroupNorm(num_groups=min(h.shape[-1] // 4, 32), epsilon=1e-6)(h)
         h = nn.Conv(2 * self.input_channels, (3, 3), padding="SAME")(nn.silu(h))
@@ -193,6 +216,9 @@ class TauUNetWrapper(nn.Module):
             do_time_embed=True,
             time_scale_factor=cfg.model.time_scale_factor,
             time_embed_dim=cfg.model.time_embed_dim,
+            dtype=jnp.bfloat16
+            if cfg.model.get("compute_dtype", "float32") == "bfloat16"
+            else jnp.float32,
         )
         out = net(img, t, train=train)  # (B, H, W, 2C)
         loc, log_scale = out[..., :C], out[..., C:]

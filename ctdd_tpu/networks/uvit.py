@@ -27,14 +27,23 @@ class UViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     skip: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip=None):
         if self.skip:
-            x = nn.Dense(self.dim)(jnp.concatenate([x, skip], axis=-1))
-        x = x + Attention(self.dim, self.num_heads)(nn.LayerNorm()(x))
-        h = nn.Dense(int(self.dim * self.mlp_ratio))(nn.LayerNorm()(x))
-        return x + nn.Dense(self.dim)(nn.gelu(h))
+            x = nn.Dense(self.dim, dtype=self.dtype)(
+                jnp.concatenate([x, skip], axis=-1)
+            ).astype(jnp.float32)
+        x = x + Attention(self.dim, self.num_heads, dtype=self.dtype)(
+            nn.LayerNorm()(x)
+        )
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(
+            nn.LayerNorm()(x)
+        )
+        return x + nn.Dense(self.dim, dtype=self.dtype)(
+            nn.gelu(h)
+        ).astype(jnp.float32)
 
 
 class UViT(nn.Module):
@@ -52,6 +61,7 @@ class UViT(nn.Module):
     num_classes: int = -1
     model_output: str = "logits"
     use_checkpoint: bool = False
+    dtype: jnp.dtype = jnp.float32  # bf16 = MXU fast path; norms/head f32
 
     @nn.compact
     def __call__(self, x, t, y=None, train: bool = False):
@@ -87,12 +97,18 @@ class UViT(nn.Module):
 
         skips = []
         for _ in range(self.depth // 2):
-            h = block(self.embed_dim, self.num_heads, self.mlp_ratio)(h)
+            h = block(
+                self.embed_dim, self.num_heads, self.mlp_ratio,
+                dtype=self.dtype,
+            )(h)
             skips.append(h)
-        h = block(self.embed_dim, self.num_heads, self.mlp_ratio)(h)
+        h = block(
+            self.embed_dim, self.num_heads, self.mlp_ratio, dtype=self.dtype
+        )(h)
         for _ in range(self.depth // 2):
             h = block(
-                self.embed_dim, self.num_heads, self.mlp_ratio, skip=True
+                self.embed_dim, self.num_heads, self.mlp_ratio, skip=True,
+                dtype=self.dtype,
             )(h, skips.pop())
 
         h = nn.LayerNorm()(h)
@@ -142,6 +158,9 @@ class UViTWrapper(nn.Module):
             num_classes=-1,
             model_output=cfg.model.model_output,
             use_checkpoint=bool(cfg.model.get("use_checkpoint", False)),
+            dtype=jnp.bfloat16
+            if cfg.model.get("compute_dtype", "float32") == "bfloat16"
+            else jnp.float32,
         )
         logits = net(img, t, y=label, train=train)
         return logits.reshape(B, D, S)

@@ -73,3 +73,46 @@ def test_dit_adaln_zero_init():
     assert np.isfinite(
         sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "GaussianDiTEMA",
+        "GaussianUViTEMA",
+        "GaussianTargetRateImageX0PredEMA",   # tau-UNet (logistic head)
+        "GaussianTargetRateImageX0PredEMAPaul",  # plain UNet
+    ],
+)
+def test_compute_dtype_bf16_close_to_f32(name):
+    """cfg.model.compute_dtype=bfloat16 keeps params f32 (same pytree) and
+    produces logits close to the f32 forward (matmuls/convs on the MXU fast
+    path, norms and heads in f32)."""
+    cfg = img_cfg(name)
+    if name == "GaussianTargetRateImageX0PredEMAPaul":
+        cfg.model.model_output = "logits"
+        cfg.model.attn_resolutions = [4]
+        cfg.model.num_heads = 2
+        cfg.model.padding = False
+        cfg.data.shape = [1, 8, 8]
+    model32 = create_model(cfg)
+    D = cfg.model.concat_dim
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, D), 0, cfg.data.S)
+    t = jnp.full((2,), 0.5)
+    params = model32.init(jax.random.PRNGKey(0), x, t)
+    out32 = model32.apply(params, x, t)
+
+    cfg.model.compute_dtype = "bfloat16"
+    model16 = create_model(cfg)
+    params16 = model16.init(jax.random.PRNGKey(0), x, t)
+    # same param pytree (f32 master weights) regardless of compute dtype
+    assert jax.tree.structure(params) == jax.tree.structure(params16)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params16)):
+        assert a.dtype == b.dtype == jnp.float32 or a.dtype == b.dtype
+
+    out16 = model16.apply(params, x, t)
+    a, b = np.asarray(out32), np.asarray(out16)
+    assert np.isfinite(b).all()
+    # bf16 mantissa is 8 bits; logits live in O(1..10) range here
+    scale = max(1.0, float(np.abs(a).max()))
+    assert np.abs(a - b).max() / scale < 0.1, np.abs(a - b).max()
