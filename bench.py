@@ -64,6 +64,9 @@ def _compiled_flops(jitted, *args):
 
 
 def main():
+    from ctdd_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from ctdd_tpu.config.presets import get_preset
     from ctdd_tpu.losses.losses import get_loss
     from ctdd_tpu.models.base import create_model

@@ -30,6 +30,9 @@ import numpy as np
 
 
 def main():
+    from ctdd_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", required=True)
     ap.add_argument("--ckpt", required=True)

@@ -92,8 +92,14 @@ def main():
     t_pal = timeit(pallas_step, logits, x, 7)
     t_exp = timeit(pallas_expected, logits, x)
 
-    # sanity: state statistics agree between the two stochastic paths
+    # correctness on hardware (the pytest variants are TPU-gated because the
+    # CPU interpreters stub the on-core PRNG): deterministic in seed, and
+    # state statistics agree between the two stochastic paths
     a = pallas_step(logits, x, 3)
+    a2 = pallas_step(logits, x, 3)
+    a3 = pallas_step(logits, x, 4)
+    assert bool(jnp.all(a == a2)), "kernel not deterministic in seed"
+    assert bool(jnp.any(a != a3)), "kernel ignores seed"
     b = xla_step(logits, x, jax.random.PRNGKey(3))
     da = float(jnp.abs(a - x).mean())
     db = float(jnp.abs(b - x).mean())

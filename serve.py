@@ -12,6 +12,9 @@ import argparse
 
 
 def main():
+    from ctdd_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", required=True)
     ap.add_argument("--ckpt", required=True)

@@ -39,6 +39,9 @@ def apply_overrides(cfg, overrides):
 
 
 def main():
+    from ctdd_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", required=True)
     ap.add_argument("--iters", type=int, default=None)
