@@ -101,7 +101,11 @@ def _update_kernel(
     elif mode == "poisson":
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         bits = pltpu.bitcast(pltpu.prng_random_bits((R, S)), jnp.uint32)
-        u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        # Mosaic cannot lower uint32->f32 converts; build u in [0, 1) by
+        # splicing the top 23 random bits into a f32 mantissa with unit
+        # exponent (value in [1, 2)) and subtracting 1.
+        mant = (bits >> 9) | jnp.uint32(0x3F800000)
+        u = pltpu.bitcast(mant, jnp.float32) - 1.0
         n = _poisson_inversion_from_u(u, rev * h)
         if not is_ordinal:
             tot = jnp.sum(n, axis=-1, keepdims=True)

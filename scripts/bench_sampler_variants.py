@@ -14,9 +14,17 @@ Prints one JSON line per variant plus a summary line.
 
 import argparse
 import json
+import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
+
+from ctdd_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 def measure(cfg, N, runs, label):
