@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--inception-weights", default=None,
                     help="path to converted InceptionV3 weights npz for FID")
     ap.add_argument("--out", default="samples.npy")
+    ap.add_argument("--step", type=int, default=None,
+                    help="checkpoint step to restore (default: latest)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--set", nargs="*", default=None,
                     help="key=value config overrides (e.g. "
@@ -86,7 +88,7 @@ def main():
         jnp.full((2,), 0.5), label=init_label,
     )
     state = create_train_state(params, get_optimizer(cfg))
-    state = CheckpointManager(args.ckpt).restore(state)
+    state = CheckpointManager(args.ckpt).restore(state, step=args.step)
     params = state.ema_params if args.use_ema else state.params
     print(f"restored step={int(state.step)} "
           f"params={'ema' if args.use_ema else 'raw'}")
