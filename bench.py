@@ -171,6 +171,25 @@ def main():
         round(sample_flops / dt / peak, 4) if peak and sample_flops else None
     )
 
+    # --- perf-path sampler: bf16 net + fused Pallas tau-leap update ---------
+    # (quality-validated against the f32 protocol — see docs/DESIGN_NOTES.md;
+    # disable with BENCH_NO_FUSED=1 e.g. on backends without Mosaic)
+    fused_samples_per_sec = None
+    if not os.environ.get("BENCH_NO_FUSED"):
+        cfg_f = get_preset("tauUnet_mnist")
+        cfg_f.model.compute_dtype = "bfloat16"
+        cfg_f.sampler.use_fused_update = True
+        model_f = create_model(cfg_f)
+        params_f = model_f.init(jax.random.PRNGKey(0), x, t)
+        sampler_f = get_sampler(cfg_f)
+        sampler_f.sample(model_f, params_f, key, N=N_SAMPLE)  # compile
+        t0 = time.time()
+        for i in range(n_runs):
+            sampler_f.sample(
+                model_f, params_f, jax.random.PRNGKey(i + 1), N=N_SAMPLE
+            )
+        fused_samples_per_sec = N_SAMPLE / ((time.time() - t0) / n_runs)
+
     vs_baseline = (
         samples_per_sec / TORCH_CPU_SAMPLES_PER_SEC
         if TORCH_CPU_SAMPLES_PER_SEC
@@ -200,6 +219,10 @@ def main():
             "sample_flops_per_run": sample_flops,
             "sample_mfu": sample_mfu,
             "peak_flops": peak,
+            "bf16_fused_samples_per_sec": (
+                round(fused_samples_per_sec, 4)
+                if fused_samples_per_sec else None
+            ),
         },
     }
     print(json.dumps(out))

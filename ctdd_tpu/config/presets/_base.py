@@ -39,6 +39,9 @@ def sampler_section(config, **kw):
         eps_ratio=1e-9, initial_dist="uniform", num_corrector_steps=0,
         corrector_step_size_multiplier=1.5, corrector_entry_time=0.0,
         is_ordinal=True, sample_freq=10000,
+        # perf path: whole tau-leap update in one Pallas kernel on TPU
+        # (ops/fused_update.py); XLA mirror elsewhere
+        use_fused_update=False,
     )
     defaults.update(kw)
     config.sampler = ml_collections.ConfigDict(defaults)

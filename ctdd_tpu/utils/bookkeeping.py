@@ -101,22 +101,42 @@ class PreemptionHandler:
         sys.exit(0)
 
 
-def check_for_preempted_run(save_location: str, experiment_name: str, cfg) -> Optional[str]:
-    """Find today's run folder with an equal config to resume from
-    (ref bookkeeping.py:285-340). Returns the run root or None."""
-    today = datetime.datetime.now().strftime("%Y-%m-%d")
-    pattern = os.path.join(save_location, today, experiment_name + "_*")
+def check_for_preempted_run(
+    save_location: str, experiment_name: str, cfg, lookback_days: int = 7
+) -> Optional[str]:
+    """Find the config-equal run folder with the most training progress
+    (ref bookkeeping.py:285-340). Returns the run root or None.
+
+    Scans the last `lookback_days` date folders (a run that crosses
+    midnight must still be resumable) and, among config-equal candidates,
+    picks the one whose checkpoints dir holds the HIGHEST step — a fresh
+    same-config run must never shadow an older one with more progress."""
     want = cfg.to_dict()
-    for folder in sorted(glob.glob(pattern), reverse=True):
-        cfg_path = os.path.join(folder, "config", "config.yaml")
-        if os.path.exists(cfg_path):
+    best, best_step = None, -1
+    for back in range(lookback_days):
+        day = (
+            datetime.datetime.now() - datetime.timedelta(days=back)
+        ).strftime("%Y-%m-%d")
+        pattern = os.path.join(save_location, day, experiment_name + "_*")
+        for folder in sorted(glob.glob(pattern), reverse=True):
+            cfg_path = os.path.join(folder, "config", "config.yaml")
+            if not os.path.exists(cfg_path):
+                continue
             try:
                 other = load_config(cfg_path).to_dict()
             except Exception:
                 continue
-            if other == want:
-                return folder
-    return None
+            if other != want:
+                continue
+            ckpt_dir = os.path.join(folder, "checkpoints")
+            steps = [
+                int(d) for d in os.listdir(ckpt_dir)
+                if d.isdigit()
+            ] if os.path.isdir(ckpt_dir) else []
+            step = max(steps, default=0)
+            if step > best_step:
+                best, best_step = folder, step
+    return best
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,38 @@ def test_check_for_preempted_run(tmp_path):
     ) is None
 
 
+def test_check_for_preempted_run_midnight_and_progress(tmp_path):
+    """A run that crossed midnight must still be found, and among
+    config-equal runs the one with the HIGHEST checkpoint step wins
+    (regression: a fresh same-config run at step 3k must not shadow the
+    yesterday run at 520k)."""
+    import datetime
+
+    cfg = get_preset("mlp_synthetic")
+    cfg.save_location = str(tmp_path)
+    yesterday = (
+        datetime.datetime.now() - datetime.timedelta(days=1)
+    ).strftime("%Y-%m-%d")
+    old_root = os.path.join(tmp_path, yesterday, "exp_20-00-00")
+    for sub in ("config", "checkpoints/520000"):
+        os.makedirs(os.path.join(old_root, sub))
+    save_config(cfg, os.path.join(old_root, "config", "config.yaml"))
+
+    found = bookkeeping.check_for_preempted_run(
+        str(tmp_path), "exp", cfg
+    )
+    assert found == old_root
+
+    # a NEWER config-equal run with less progress must not win
+    paths = bookkeeping.create_experiment_folder(str(tmp_path), "exp")
+    save_config(cfg, os.path.join(paths["config"], "config.yaml"))
+    os.makedirs(os.path.join(paths["checkpoints"], "3100"))
+    found = bookkeeping.check_for_preempted_run(
+        str(tmp_path), "exp", cfg
+    )
+    assert found == old_root
+
+
 def test_ema_ramp_matches_reference():
     """decay ramp min(decay, (1+n)/(10+n)) (ref models.py:745-758)."""
     import jax.numpy as jnp
