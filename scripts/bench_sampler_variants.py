@@ -3,11 +3,14 @@
     python scripts/bench_sampler_variants.py [--n 256] [--runs 2] [--steps 1000]
 
 Variants:
-  f32          round-1 headline protocol (comparability anchor)
-  bf16         cfg.model.compute_dtype=bfloat16 (UNet matmuls/convs on the
-               MXU bf16 path; norms/heads f32)
-  bf16_fused   + cfg.sampler.use_fused_update=True (ops/fused_update.py:
-               whole tau-leap update in one Pallas kernel)
+  f32          round-1 headline protocol (comparability anchor; note f32
+               convs already run the MXU in bf16 under JAX default precision)
+  fused        + cfg.sampler.use_fused_update=True (ops/fused_update.py:
+               whole tau-leap update in one Pallas kernel) — the perf path
+  bf16         cfg.model.compute_dtype=bfloat16 activations (NOT default:
+               the 1000-step bf16 scan compile crashes this box's TPU
+               worker; compiles fine at <=128 batch / <=50 steps)
+  bf16_fused   bf16 + fused (same compile caveat)
 
 Prints one JSON line per variant plus a summary line.
 """
@@ -62,7 +65,7 @@ def main():
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--sampler", default="TauL")
-    ap.add_argument("--variants", default="f32,bf16,bf16_fused")
+    ap.add_argument("--variants", default="f32,fused")
     args = ap.parse_args()
 
     from ctdd_tpu.config.presets import get_preset
