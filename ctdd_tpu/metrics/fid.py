@@ -100,6 +100,76 @@ def _lenet_features(seed: int = 0, feature_dim: int = 256) -> Callable:
     return fn
 
 
+def trained_classifier_features(
+    images: np.ndarray, labels: np.ndarray, seed: int = 0,
+    steps: int = 500, batch: int = 256, feature_dim: int = 256,
+    n_classes: int = 10,
+) -> Callable:
+    """Feature net TRAINED as a classifier on the eval dataset.
+
+    Random-conv ("lenet") features saturate on small stand-in datasets: a
+    well-trained generator reaches the real-vs-real noise floor early and
+    the FID trajectory goes flat. Training the same conv trunk for a few
+    hundred classification steps makes the features class- and
+    stroke-discriminative, so the metric keeps resolving quality
+    differences. Deterministic in (seed, steps, data); the reference has no
+    counterpart (its FID always uses downloaded InceptionV3 weights,
+    mnist_fid.py:107-154 — use those when available)."""
+    import flax.linen as nn
+    import optax
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(32, (3, 3), strides=(2, 2))(x)
+            x = nn.relu(x)
+            x = nn.Conv(64, (3, 3), strides=(2, 2))(x)
+            x = nn.relu(x)
+            x = nn.Conv(128, (3, 3), strides=(2, 2))(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            feats = nn.Dense(feature_dim)(x)
+            logits = nn.Dense(n_classes)(nn.relu(feats))
+            return feats, logits
+
+    net = Net()
+    x_all = preprocess_images(images)
+    y_all = np.asarray(labels, np.int32)
+    key = jax.random.PRNGKey(seed)
+    params = net.init(key, jnp.asarray(x_all[:2]))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        def loss_fn(p):
+            _, logits = net.apply(p, xb)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, yb
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(seed)
+    for _ in range(steps):
+        idx = rng.randint(0, len(x_all), size=batch)
+        params, opt_state, _ = step(
+            params, opt_state, jnp.asarray(x_all[idx]), jnp.asarray(y_all[idx])
+        )
+
+    @jax.jit
+    def features(xb):
+        f, _ = net.apply(params, xb)
+        return f
+
+    def fn(images_pre: np.ndarray) -> np.ndarray:
+        return np.asarray(features(jnp.asarray(images_pre)))
+
+    return fn
+
+
 def get_feature_fn(kind="lenet", weights_path: Optional[str] = None) -> Callable:
     if callable(kind):
         return kind

@@ -56,6 +56,12 @@ def main():
                          "conditional forward)")
     ap.add_argument("--inception-weights", default=None,
                     help="path to converted InceptionV3 weights npz for FID")
+    ap.add_argument("--features", default="auto",
+                    choices=["auto", "lenet", "inception", "trained"],
+                    help="FID feature net: auto = inception if weights "
+                         "present else lenet; trained = classifier trained "
+                         "on the eval dataset (discriminative on stand-in "
+                         "data)")
     ap.add_argument("--out", default="samples.npy")
     ap.add_argument("--step", type=int, default=None,
                     help="checkpoint step to restore (default: latest)")
@@ -150,17 +156,22 @@ def main():
         weights = args.inception_weights or os.environ.get(
             "CTDD_INCEPTION_NPZ", ""
         )
-        if weights and os.path.isfile(weights):
-            kind = "inception"
-        else:
-            kind = "lenet"
+        kind = args.features
+        if kind == "auto":
+            kind = (
+                "inception" if weights and os.path.isfile(weights)
+                else "lenet"
+            )
+        if kind == "lenet":
             print(
                 "WARNING: no InceptionV3 weights found — falling back to the "
                 "fixed-seed random-conv feature net. The number below is a "
                 "RELATIVE quality signal, NOT comparable to published "
                 "Inception FIDs. Drop in converted weights (see "
                 "scripts/convert_inception_weights.py) and pass "
-                "--inception-weights to reproduce the reference protocol.",
+                "--inception-weights to reproduce the reference protocol; "
+                "or use --features trained for a discriminative relative "
+                "metric.",
                 file=sys.stderr,
             )
         dataset = get_dataset(cfg)
@@ -171,11 +182,19 @@ def main():
             len(dataset.data), size=n_real, replace=False
         )
         real = dataset.data[idx].reshape((-1,) + shape)
+        kind_name = kind
+        if kind == "trained":
+            from ctdd_tpu.metrics.fid import trained_classifier_features
+
+            kind = trained_classifier_features(
+                dataset.data.reshape((-1,) + shape), dataset.labels,
+                seed=args.seed,
+            )
         fid = evaluate_fid_score(
             samples, real, feature_kind=kind,
             weights_path=weights if kind == "inception" else None,
         )
-        print(f"FID ({kind}): {fid:.4f}  [n_samples={len(samples)} "
+        print(f"FID ({kind_name}): {fid:.6f}  [n_samples={len(samples)} "
               f"n_real={n_real} sampler={cfg.sampler.name}]")
     elif args.metric == "maze_acc":
         from ctdd_tpu.data.maze import maze_acc

@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--steps", default=None,
                     help="comma-separated snapshot steps (default: all)")
     ap.add_argument("--inception-weights", default=None)
+    ap.add_argument("--features", default="auto",
+                    choices=["auto", "lenet", "inception", "trained"],
+                    help="auto = inception if weights present else lenet; "
+                         "trained = classifier trained on the eval dataset "
+                         "(discriminative on stand-in data)")
     ap.add_argument("--out", default="runs/fid_trajectory")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--set", nargs="*", default=None)
@@ -74,11 +79,13 @@ def main():
     )
 
     weights = args.inception_weights or os.environ.get("CTDD_INCEPTION_NPZ", "")
-    kind = "inception" if weights and os.path.isfile(weights) else "lenet"
-    if kind == "lenet":
+    kind = args.features
+    if kind == "auto":
+        kind = "inception" if weights and os.path.isfile(weights) else "lenet"
+    if kind != "inception":
         print(
-            "WARNING: lenet (fixed-seed random-conv) features — a RELATIVE "
-            "quality signal, not comparable to published Inception FIDs.",
+            f"WARNING: {kind} features — a RELATIVE quality signal, not "
+            "comparable to published Inception FIDs.",
             file=sys.stderr,
         )
 
@@ -89,6 +96,15 @@ def main():
         len(dataset.data), size=n_real, replace=False
     )
     real = dataset.data[idx].reshape((-1,) + shape)
+
+    kind_name = kind
+    if kind == "trained":
+        from ctdd_tpu.metrics.fid import trained_classifier_features
+
+        kind = trained_classifier_features(
+            dataset.data.reshape((-1,) + shape), dataset.labels,
+            seed=args.seed,
+        )
 
     sampler = get_sampler(cfg)
     os.makedirs(args.out, exist_ok=True)
@@ -118,7 +134,7 @@ def main():
 
         plt.close(fig)
         rec = {
-            "step": step, "fid": round(float(fid), 4), "features": kind,
+            "step": step, "fid": round(float(fid), 6), "features": kind_name,
             "n_samples": int(len(samples)), "n_real": int(n_real),
             "sampler": cfg.sampler.name,
             "num_steps": int(cfg.sampler.num_steps),

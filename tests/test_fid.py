@@ -56,3 +56,23 @@ def test_inception_runs_random_weights():
     feats = fn(x)
     assert feats.shape == (2, 2048)
     assert np.isfinite(feats).all()
+
+
+def test_trained_classifier_features_discriminate():
+    """Features trained as a classifier separate the classes the random-conv
+    features cannot: FID between two halves of the same class distribution
+    stays near zero while FID against a class-shifted set is large."""
+    from ctdd_tpu.metrics.fid import trained_classifier_features
+
+    rng = np.random.RandomState(0)
+    # two "classes": dark images (label 0) and bright images (label 1)
+    dark = rng.randint(0, 60, (96, 1, 8, 8)).astype(np.uint8)
+    bright = rng.randint(196, 256, (96, 1, 8, 8)).astype(np.uint8)
+    images = np.concatenate([dark, bright])
+    labels = np.concatenate([np.zeros(96, np.int32), np.ones(96, np.int32)])
+    fn = trained_classifier_features(
+        images, labels, steps=60, batch=64, feature_dim=32, n_classes=2
+    )
+    fid_same = evaluate_fid_score(dark[:48], dark[48:], feature_kind=fn)
+    fid_shift = evaluate_fid_score(dark[:48], bright[:48], feature_kind=fn)
+    assert fid_shift > 10 * max(fid_same, 1e-9)
