@@ -61,6 +61,14 @@ class CheckpointManager:
         self.manager.wait_until_finished()
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        if step is not None and step not in self.manager.all_steps():
+            # orbax's own error for a missing step dir is a misleading
+            # "Must provide `args` of type `Composite`" — say what happened
+            # (rolling retention deletes old steps)
+            raise FileNotFoundError(
+                f"checkpoint step {step} not found; available: "
+                f"{sorted(self.manager.all_steps())}"
+            )
         step = step if step is not None else self.manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
