@@ -15,7 +15,7 @@ def get_config():
     training_section(config, n_iters=400000, grad_norm=1.0, max_t=0.995)
     config.data = ml_collections.ConfigDict(
         dict(
-            name="Maze3S", is_img=True, S=3, batch_size=128, shuffle=True,
+            name="Maze3S", is_img=True, S=3, batch_size=128, shuffle=True, stream_fresh=True,
             train=True, download=False, image_size=15, shape=[1, 15, 15],
             use_augm=False, crop_wall=False, limit=1, random_transform=True,
             num_samples=6400,

@@ -22,7 +22,7 @@ def get_config():
     training_section(config, n_iters=300000, grad_norm=3.0)
     config.data = ml_collections.ConfigDict(
         dict(
-            name="Maze3S", S=3, is_img=True, batch_size=128, shuffle=True,
+            name="Maze3S", S=3, is_img=True, batch_size=128, shuffle=True, stream_fresh=True,
             image_size=15, shape=[1, 15, 15], use_augm=False, crop_wall=False,
             limit=1, random_transform=True, num_samples=6400,
         )

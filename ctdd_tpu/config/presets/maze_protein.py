@@ -13,7 +13,7 @@ from ctdd_tpu.config.presets._base import (
 
 def maze_data_section(config, **kw):
     d = dict(
-        name="Maze3S", is_img=True, S=3, batch_size=128, shuffle=True,
+        name="Maze3S", is_img=True, S=3, batch_size=128, shuffle=True, stream_fresh=True,
         train=True, download=False, image_size=15, shape=[1, 15, 15],
         use_augm=False, crop_wall=False, limit=1, random_transform=True,
         num_samples=6400,

@@ -19,7 +19,7 @@ def get_config():
     training_section(config, n_iters=500000, grad_norm=1.0, max_t=1.0)
     config.data = ml_collections.ConfigDict(
         dict(
-            name="Maze3S", train=True, download=False, S=3, batch_size=64,
+            name="Maze3S", train=True, download=False, S=3, batch_size=64, stream_fresh=True,
             shuffle=True, image_size=15, shape=[1, 15, 15], use_augm=False,
             crop_wall=False, limit=1, random_transform=True, num_samples=6400,
         )

@@ -164,13 +164,41 @@ def train(
             model, loss, tx, mesh, batch_size=cfg.data.batch_size,
             ema_decay=ema_decay, has_label=has_label, augment_fn=augment_fn,
         )
-    elif single:
+    # stream_fresh: regenerate the on-device pool every epoch so long runs
+    # see the reference's infinite-fresh-data distribution (its maze dataset
+    # builds a maze per __getitem__, maze.py:945-966) instead of cycling one
+    # finite pool — which measurably degrades sample exactness at the 500k
+    # schedule. Deterministic: pool i is keyed by the absolute epoch index,
+    # so preemption/resume replays the identical data stream.
+    stream_fresh = (
+        device_data
+        and not has_label
+        and bool(cfg.data.get("stream_fresh", False))
+        and hasattr(dataset, "regenerate")
+    )
+    steps_per_epoch = max(1, len(dataset) // int(cfg.data.batch_size))
+
+    def refresh_pool(it: int):
+        epoch = it // steps_per_epoch
+        flat_new = (
+            dataset.regenerate(epoch)
+            .reshape(len(dataset), -1)
+            .astype(np.int32)
+        )
+        if single:
+            return jnp.asarray(flat_new)
+        return jax.device_put(
+            flat_new,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        )
+
+    if not device_data and single:
         from ctdd_tpu.training.train_step import make_train_step
 
         step_fn = make_train_step(
             model, loss, tx, ema_decay=ema_decay, augment_fn=augment_fn
         )
-    else:
+    elif not device_data:
         step_fn = make_dp_train_step(
             model, loss, tx, mesh, ema_decay=ema_decay, has_label=has_label,
             augment_fn=augment_fn,
@@ -194,6 +222,8 @@ def train(
             jax.profiler.start_trace(os.path.join(paths["root"], "profile"))
         # one base key for the whole run; the step folds in state.step
         if device_data:
+            if stream_fresh and it > n_start and it % steps_per_epoch == 0:
+                data_on_device = refresh_pool(it)
             state, l = step_fn(state, data_on_device, key)
         else:
             batch, label = next(batches)
