@@ -22,7 +22,12 @@ def get_config():
         dict(
             name="SudokuDataset", train=True, download=False, S=9,
             batch_size=128, shuffle=True, shape=[81], num_samples=12800,
-            seed=0,
+            # fresh-data stream (ref SudokuDataset generates a new board per
+            # __getitem__, sudoku.py:108-119): pool regenerated every 4
+            # epochs on a background thread — the C++ generator produces the
+            # 12.8k pool in ~2.6s vs ~1.3s/epoch, so period 4 lets prefetch
+            # fully overlap training
+            seed=0, stream_fresh=True, stream_refresh_period=4,
         )
     )
     config.model = ml_collections.ConfigDict(

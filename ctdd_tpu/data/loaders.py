@@ -27,6 +27,17 @@ class ArrayDataset:
         return self.data.shape[0]
 
 
+def mix_pool_seed(base_seed: int, epoch: int) -> int:
+    """Generator seed for a stream_fresh pool keyed by (data.seed, epoch).
+
+    Well-mixed so epoch pools never collide across base seeds: a plain
+    gen(epoch) key would make data.seed=k replay its own initial gen(k) pool
+    at epoch k, and would give every base seed the identical stream from
+    epoch 1 on."""
+    ss = np.random.SeedSequence([int(base_seed), int(epoch)])
+    return int(ss.generate_state(1, np.uint64)[0] & 0x7FFFFFFF)
+
+
 def iterate_batches(
     dataset, batch_size: int, *, shuffle: bool = True, seed: int = 0,
     drop_last: bool = True,

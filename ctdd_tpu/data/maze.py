@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from ctdd_tpu import registry
-from ctdd_tpu.data.loaders import ArrayDataset
+from ctdd_tpu.data.loaders import ArrayDataset, mix_pool_seed
 
 WALL, PATH, WAY = 0, 1, 2
 
@@ -230,16 +230,17 @@ class MazePoolDataset(ArrayDataset):
     def __init__(self, n: int, random_transform: bool, seed: int):
         self._n = n
         self._random_transform = random_transform
-        super().__init__(self._gen(seed))
+        self._base_seed = int(seed)
+        super().__init__(self._gen(mix_pool_seed(seed, 0)))
 
     def _gen(self, seed: int) -> np.ndarray:
         return maze_gen(
             limit=self._n, random_transform=self._random_transform, seed=seed
         )
 
-    def regenerate(self, seed: int) -> np.ndarray:
-        """Fresh pool, deterministically keyed by `seed` (epoch index)."""
-        self.data = self._gen(seed)
+    def regenerate(self, epoch: int) -> np.ndarray:
+        """Fresh pool, deterministically keyed by (data.seed, epoch)."""
+        self.data = self._gen(mix_pool_seed(self._base_seed, epoch))
         return self.data
 
 

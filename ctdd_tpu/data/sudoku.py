@@ -14,7 +14,7 @@ from typing import Optional
 import numpy as np
 
 from ctdd_tpu import registry
-from ctdd_tpu.data.loaders import ArrayDataset
+from ctdd_tpu.data.loaders import ArrayDataset, mix_pool_seed
 
 
 def define_relative_encoding() -> np.ndarray:
@@ -74,6 +74,32 @@ def gen_sudoku(num: int, seed: Optional[int] = None, use_native: bool = True) ->
     return out
 
 
+class SudokuPoolDataset(ArrayDataset):
+    """Sudoku pool that can regenerate itself per epoch (stream_fresh).
+
+    The reference's SudokuDataset builds a brand-new solved board on every
+    __getitem__ (sudoku.py:108-119) — an infinite fresh stream. Host-side
+    generation at per-item rate starves a TPU, so training holds a pool of
+    cfg.data.num_samples boards on device and, with `stream_fresh` on, swaps
+    in a freshly generated pool every epoch via `regenerate` (the same fix
+    that recovered maze exact-solvability from the static-pool collapse,
+    README.md round-2 results; C++ generator native/datagen.cpp)."""
+
+    def __init__(self, n: int, seed: int):
+        self._n = n
+        self._base_seed = int(seed)
+        super().__init__(self._gen(mix_pool_seed(seed, 0)))
+
+    def _gen(self, seed: int) -> np.ndarray:
+        boards = gen_sudoku(self._n, seed=seed)
+        return boards.reshape(self._n, 81).astype(np.int32) - 1
+
+    def regenerate(self, epoch: int) -> np.ndarray:
+        """Fresh pool, deterministically keyed by (data.seed, epoch)."""
+        self.data = self._gen(mix_pool_seed(self._base_seed, epoch))
+        return self.data
+
+
 @registry.datasets.register(name="SudokuDataset")
 def sudoku_dataset(cfg, root=None) -> ArrayDataset:
     """Solved boards as (N, 81) cell values in 0..8 (states for S=9).
@@ -83,8 +109,7 @@ def sudoku_dataset(cfg, root=None) -> ArrayDataset:
     encodes on device.
     """
     n = int(cfg.data.get("num_samples", cfg.data.batch_size * 100))
-    boards = gen_sudoku(n, seed=int(cfg.data.get("seed", 0)))
-    return ArrayDataset(boards.reshape(n, 81).astype(np.int32) - 1)
+    return SudokuPoolDataset(n, seed=int(cfg.data.get("seed", 0)))
 
 
 def sudoku_acc(sample: np.ndarray, return_array: bool = False):

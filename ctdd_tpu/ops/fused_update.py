@@ -99,7 +99,11 @@ def _update_kernel(
         drift = h * jnp.sum(rev * diff, axis=-1, keepdims=True)
         jump = jnp.round(drift).astype(jnp.int32)
     elif mode == "poisson":
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        # seed words kept in independent dimensions: `seed + program_id`
+        # would alias tile i of step-seed s with tile i-k of step-seed s+k,
+        # reusing a tile's uniform stream across two timesteps whenever two
+        # step seeds land within grid-size of each other
+        pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
         bits = pltpu.bitcast(pltpu.prng_random_bits((R, S)), jnp.uint32)
         # Mosaic cannot lower uint32->f32 converts; build u in [0, 1) by
         # splicing the top 23 random bits into a f32 mantissa with unit

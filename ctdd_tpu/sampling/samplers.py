@@ -269,10 +269,21 @@ class _SamplerBase:
         # kernel on TPU when S is lane-aligned, the bit-faithful XLA mirror
         # otherwise (so the flag is testable on CPU)
         self.use_fused_update = bool(cfg.sampler.get("use_fused_update", False))
+        # rematerialize the scan body (jax.checkpoint): shrinks the compiled
+        # program's live set — mitigation probe for the bf16 1000-step scan
+        # compile crash (scripts/bf16_scan_repro.py)
+        self.remat_scan_body = bool(cfg.sampler.get("remat_scan_body", False))
+
+    def _maybe_remat(self, step_fn):
+        return jax.checkpoint(step_fn) if self.remat_scan_body else step_fn
 
     def _fused_applicable(self):
+        # exact_poisson requests the XLA rejection sampler; the fused kernel
+        # only implements the max_k CDF-inversion Poisson, so the two flags
+        # would silently contradict — let exact_poisson win
         return (
             self.use_fused_update
+            and not self.exact_poisson
             and self.rate_param == "p0t"
             and self.log_prob_kind == "cat"
         )
@@ -421,7 +432,7 @@ class TauL(_SamplerBase):
                 )
             return x_new, changes
 
-        x, change_dim = jax.lax.scan(step, x, (ts, hs, keys))
+        x, change_dim = jax.lax.scan(self._maybe_remat(step), x, (ts, hs, keys))
         if self.loss_name in TAULDR_LOSSES:
             x = _denoise_argmax(model, params, x, self.min_t, N)
         return x, change_dim
@@ -474,7 +485,7 @@ class LBJF(_SamplerBase):
                 )
             return x_new, changes
 
-        x, change_dim = jax.lax.scan(step, x, (ts, hs, keys))
+        x, change_dim = jax.lax.scan(self._maybe_remat(step), x, (ts, hs, keys))
         # argmax denoise for every x0-parameterization loss (the reference
         # gates LBJF's on CTElbo only, sampling.py:349; normalized here)
         if self.loss_name in TAULDR_LOSSES:
@@ -565,7 +576,7 @@ class MidPointTauL(_SamplerBase):
             changes = jnp.sum(x != x_new) / (N * D)
             return x_new, changes
 
-        x, change_dim = jax.lax.scan(step, x, (ts, keys))
+        x, change_dim = jax.lax.scan(self._maybe_remat(step), x, (ts, keys))
         if self.loss_name in TAULDR_LOSSES:
             x = _denoise_argmax(model, params, x, self.min_t, N)
         return x, change_dim
@@ -639,7 +650,7 @@ class PCTauL(_SamplerBase):
                 )
             return x, jnp.float32(0.0)
 
-        x, _ = jax.lax.scan(step, x, (ts_scan, hs_scan, keys))
+        x, _ = jax.lax.scan(self._maybe_remat(step), x, (ts_scan, hs_scan, keys))
         x = _denoise_argmax(model, params, x, self.min_t, N)
         return x, jnp.zeros((1,))
 
@@ -722,7 +733,7 @@ class ConditionalTauLeaping(_ConditionalBase):
             )
             return x_new, jnp.float32(0.0)
 
-        x, _ = jax.lax.scan(step, x, (ts, hs, keys))
+        x, _ = jax.lax.scan(self._maybe_remat(step), x, (ts, hs, keys))
         t_min = self.min_t * jnp.ones((N,), jnp.float32)
         p0t = jax.nn.softmax(
             self._cond_p0t(model, params, conditioner, x, t_min), axis=-1
@@ -781,7 +792,7 @@ class ConditionalPCTauLeaping(_ConditionalBase):
                 )
             return x, jnp.float32(0.0)
 
-        x, _ = jax.lax.scan(step, x, (jnp.asarray(ts[:-1], jnp.float32),
+        x, _ = jax.lax.scan(self._maybe_remat(step), x, (jnp.asarray(ts[:-1], jnp.float32),
                                       jnp.asarray(hs, jnp.float32), keys))
         t_min = self.min_t * jnp.ones((N,), jnp.float32)
         p0t = jax.nn.softmax(
@@ -835,7 +846,7 @@ class ExactSampling(_SamplerBase):
             changes = jnp.sum(x_new != x) / (N * self.D)
             return x_new, changes
 
-        x, change_jump = jax.lax.scan(step, x, (ts, hs, keys))
+        x, change_jump = jax.lax.scan(self._maybe_remat(step), x, (ts, hs, keys))
         return x, change_jump
 
 

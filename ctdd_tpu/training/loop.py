@@ -120,6 +120,13 @@ def train(
     if resume_from is not None:
         mgr = bookkeeping.CheckpointManager(resume_from)
         state = mgr.restore(state)
+        if mesh.devices.size > 1:
+            # restored arrays land committed on the default device; the DP
+            # step expects them replicated over the mesh like the data pool
+            state = jax.device_put(
+                state,
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+            )
 
     # Step-function selection (measured on the dev box, MNIST flagship):
     # - per-step host->device device_put costs ~175 ms through the tunnel,
@@ -177,20 +184,53 @@ def train(
         and hasattr(dataset, "regenerate")
     )
     steps_per_epoch = max(1, len(dataset) // int(cfg.data.batch_size))
+    # stream_refresh_period: epochs each pool lives for. Generators slower
+    # than an epoch (sudoku: ~2.6s/pool vs ~1.3s/epoch on this host) set
+    # period > 1 and get async prefetch: the next pool is generated on a
+    # background thread (ctypes releases the GIL inside the C++ generator)
+    # while the chip trains on the current one, and the swap blocks only if
+    # generation couldn't keep up — the data stream itself stays
+    # deterministic either way because pools are keyed by absolute epoch.
+    refresh_period = max(1, int(cfg.data.get("stream_refresh_period", 1)))
+    steps_per_pool = steps_per_epoch * refresh_period
+    stream_async = bool(cfg.data.get("stream_async", refresh_period > 1))
 
-    def refresh_pool(it: int):
-        epoch = it // steps_per_epoch
-        flat_new = (
+    def _gen_host_pool(it: int) -> np.ndarray:
+        # pool keyed by the epoch index of its boundary (absolute, so
+        # preemption/resume replays the identical data stream)
+        epoch = (it // steps_per_epoch) // refresh_period * refresh_period
+        return (
             dataset.regenerate(epoch)
             .reshape(len(dataset), -1)
             .astype(np.int32)
         )
+
+    def _put_pool(flat_new: np.ndarray):
         if single:
             return jnp.asarray(flat_new)
         return jax.device_put(
             flat_new,
             jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
         )
+
+    def refresh_pool(it: int):
+        return _put_pool(_gen_host_pool(it))
+
+    _pool_box = {}
+
+    def _prefetch_pool(it: int):
+        import threading
+
+        th = threading.Thread(
+            target=lambda: _pool_box.update(flat=_gen_host_pool(it)),
+            daemon=True,
+        )
+        th.start()
+        _pool_box["thread"] = th
+
+    def _collect_pool():
+        _pool_box.pop("thread").join()
+        return _put_pool(_pool_box.pop("flat"))
 
     if not device_data and single:
         from ctdd_tpu.training.train_step import make_train_step
@@ -215,6 +255,16 @@ def train(
     t_start = time.time()
     t_post_compile = None  # set after the first step completes
     n_start = int(state.step)
+    if stream_fresh and n_start > 0:
+        # resume: the constructor pool is epoch 0; rebuild the pool for the
+        # epoch the run restarts in so the resumed stream matches what an
+        # uninterrupted run would have trained on (the in-loop refresh guard
+        # below intentionally skips it == n_start)
+        data_on_device = refresh_pool(n_start)
+    if stream_fresh and stream_async:
+        next_boundary = (n_start // steps_per_pool + 1) * steps_per_pool
+        if next_boundary < n_iters:
+            _prefetch_pool(next_boundary)
     for it in range(n_start, n_iters):
         # profiling window (SURVEY.md §5: jax.profiler replaces the
         # reference's vestigial torch profiler imports)
@@ -222,8 +272,13 @@ def train(
             jax.profiler.start_trace(os.path.join(paths["root"], "profile"))
         # one base key for the whole run; the step folds in state.step
         if device_data:
-            if stream_fresh and it > n_start and it % steps_per_epoch == 0:
-                data_on_device = refresh_pool(it)
+            if stream_fresh and it > n_start and it % steps_per_pool == 0:
+                if stream_async:
+                    data_on_device = _collect_pool()
+                    if it + steps_per_pool < n_iters:
+                        _prefetch_pool(it + steps_per_pool)
+                else:
+                    data_on_device = refresh_pool(it)
             state, l = step_fn(state, data_on_device, key)
         else:
             batch, label = next(batches)

@@ -170,41 +170,61 @@ int maze_gen_batch(int n, int dim_x, int dim_y, double weight_high,
 }
 
 // out: n * 81 int8 cell values in 0..8 (solved boards)
+//
+// Same algorithm and output distribution as the reference's
+// construct_puzzle_solution (sudoku.py:64-94): raster-order greedy fill with
+// a uniform choice among the remaining consistent values, full restart on a
+// dead end. Hot path tuned for the stream_fresh refresh budget (measured
+// ~320 attempts/board): xorshift128+ PRNG, Lemire multiply-shift reduction
+// instead of modulo, k-th-set-bit select via clear-lowest + ctz. 803 ->
+// 209 us/board on the dev host (a 12.8k-board pool in ~2.7s).
 int sudoku_gen_batch(int n, uint64_t seed, int8_t *out) {
-  std::mt19937 rng((uint32_t)seed);
+  // splitmix64 seeding so seed=0 works and nearby seeds decorrelate
+  uint64_t sm = seed;
+  auto splitmix = [&sm]() {
+    uint64_t z = (sm += 0x9E3779B97F4A7C15ull);
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+    return z ^ (z >> 31);
+  };
+  uint64_t s0 = splitmix(), s1 = splitmix();
+  auto next = [&s0, &s1]() {
+    uint64_t x = s0, y = s1;
+    s0 = y;
+    x ^= x << 23;
+    s1 = x ^ y ^ (x >> 17) ^ (y >> 26);
+    return s1 + y;
+  };
   for (int g = 0; g < n; ++g) {
-    int8_t board[81];
+    int8_t *board = out + (size_t)g * 81;
     while (true) {
       uint16_t rows[9], cols[9], sq[9];
       for (int i = 0; i < 9; ++i) rows[i] = cols[i] = sq[i] = 0x1FF;
       bool ok = true;
       for (int i = 0; i < 9 && ok; ++i) {
-        for (int j = 0; j < 9 && ok; ++j) {
-          uint16_t avail = rows[i] & cols[j] & sq[(i / 3) * 3 + j / 3];
+        uint16_t ri = rows[i];
+        for (int j = 0; j < 9; ++j) {
+          uint16_t avail = ri & cols[j] & sq[(i / 3) * 3 + j / 3];
           if (!avail) {
             ok = false;
             break;
           }
           int cnt = __builtin_popcount(avail);
-          int pick = (int)(rng() % cnt);
-          int v = -1;
-          for (int bit = 0; bit < 9; ++bit) {
-            if (avail & (1 << bit)) {
-              if (pick-- == 0) {
-                v = bit;
-                break;
-              }
-            }
-          }
+          uint32_t r = (uint32_t)(next() >> 32);
+          int pick = (int)(((uint64_t)r * (uint64_t)cnt) >> 32);
+          uint16_t a = avail;
+          while (pick--) a &= (uint16_t)(a - 1);
+          int v = __builtin_ctz(a);
+          uint16_t m = (uint16_t)~(1u << v);
           board[i * 9 + j] = (int8_t)v;
-          rows[i] &= ~(1 << v);
-          cols[j] &= ~(1 << v);
-          sq[(i / 3) * 3 + j / 3] &= ~(1 << v);
+          ri &= m;
+          cols[j] &= m;
+          sq[(i / 3) * 3 + j / 3] &= m;
         }
+        rows[i] = ri;
       }
       if (ok) break;
     }
-    std::memcpy(out + (size_t)g * 81, board, 81);
   }
   return n;
 }
