@@ -163,31 +163,69 @@ class InceptionV3Features(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # global average pool -> 2048
 
 
-def load_torch_inception_npz(path: str, variables):
-    """Map torchvision-named arrays into the flax variable tree."""
+def inception_npz_family(path: str) -> str:
+    """Checkpoint provenance recorded by scripts/convert_inception_weights.py.
+
+    'pytorch-fid' = pt_inception-2015-12-05 (the reference's FID protocol,
+    mnist_is.py:15,81-84 — use_fid_inception=True); 'torchvision' =
+    IMAGENET1K_V1 (NOT comparable to published FIDs); 'unknown' = npz predates
+    the provenance marker."""
+    with np.load(path) as arrays:
+        if "_family" in arrays:
+            return str(arrays["_family"])
+    return "unknown"
+
+
+def load_torch_inception_npz(path: str, variables, strict: bool = True):
+    """Map torchvision-named arrays into the flax variable tree.
+
+    With strict=True (default), raises if any flax leaf has no source array
+    or any non-metadata array goes unconsumed — a conversion/coverage bug
+    would otherwise silently leave random-init layers in the feature net.
+    """
     import flax
 
     arrays = dict(np.load(path))
+    meta = {k for k in arrays if k.startswith("_")}
     flat = flax.traverse_util.flatten_dict(
         flax.core.unfreeze(variables), sep="/"
     )
     out = dict(flat)
+    consumed = set()
+    unmapped = []
     for key in flat:
         # e.g. params/Mixed_5b/branch1x1/conv/kernel
         parts = key.split("/")
-        coll, modpath, leaf = parts[0], parts[1:-2], parts[-2:]
+        modpath, leaf = parts[1:-2], parts[-2:]
         tname = ".".join(modpath + [leaf[0]])
         if leaf == ["conv", "kernel"]:
-            w = arrays[tname + ".weight"]
-            out[key] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+            src = tname + ".weight"
         elif leaf == ["bn", "scale"]:
-            out[key] = jnp.asarray(arrays[tname + ".weight"])
+            src = tname + ".weight"
         elif leaf == ["bn", "bias"]:
-            out[key] = jnp.asarray(arrays[tname + ".bias"])
+            src = tname + ".bias"
         elif leaf == ["bn", "mean"]:
-            out[key] = jnp.asarray(arrays[tname + ".running_mean"])
+            src = tname + ".running_mean"
         elif leaf == ["bn", "var"]:
-            out[key] = jnp.asarray(arrays[tname + ".running_var"])
+            src = tname + ".running_var"
+        else:
+            unmapped.append(key)
+            continue
+        if src not in arrays:
+            unmapped.append(key)
+            continue
+        w = arrays[src]
+        if leaf == ["conv", "kernel"]:
+            w = np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+        out[key] = jnp.asarray(w)
+        consumed.add(src)
+    leftovers = sorted(set(arrays) - consumed - meta)
+    if strict and (unmapped or leftovers):
+        raise ValueError(
+            f"inception npz mapping incomplete: {len(unmapped)} flax leaves "
+            f"without a source array {unmapped[:5]}..., {len(leftovers)} "
+            f"unconsumed arrays {leftovers[:5]}..."
+        )
     return flax.core.freeze(flax.traverse_util.unflatten_dict(out, sep="/"))
 
 

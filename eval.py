@@ -62,6 +62,11 @@ def main():
                          "present else lenet; trained = classifier trained "
                          "on the eval dataset (discriminative on stand-in "
                          "data)")
+    ap.add_argument("--n-real", type=int, default=0,
+                    help="real images in the FID real set (0 = the full "
+                         "dataset, the reference protocol: evaluate_fid_score "
+                         "feeds the entire training split, mnist_fid.py:"
+                         "156-193)")
     ap.add_argument("--out", default="samples.npy")
     ap.add_argument("--step", type=int, default=None,
                     help="checkpoint step to restore (default: latest)")
@@ -162,6 +167,21 @@ def main():
                 "inception" if weights and os.path.isfile(weights)
                 else "lenet"
             )
+        if kind == "inception":
+            from ctdd_tpu.metrics.inception import inception_npz_family
+
+            family = inception_npz_family(weights)
+            print(f"Inception weights: family={family} ({weights})")
+            if family != "pytorch-fid":
+                print(
+                    f"WARNING: inception npz family is '{family}', not "
+                    "'pytorch-fid' (pt_inception-2015-12-05, ref "
+                    "mnist_is.py:15). FIDs from these weights are NOT "
+                    "comparable to the reference's published numbers — "
+                    "re-run scripts/convert_inception_weights.py with the "
+                    "default --family pytorch-fid.",
+                    file=sys.stderr,
+                )
         if kind == "lenet":
             print(
                 "WARNING: no InceptionV3 weights found — falling back to the "
@@ -177,13 +197,23 @@ def main():
         dataset = get_dataset(cfg)
         shape = tuple(cfg.data.shape)  # (C, H, W)
         samples = sample_fn(key, args.samples).reshape((-1,) + shape)
-        n_real = min(len(dataset.data), max(args.samples, 4096))
-        idx = np.random.RandomState(args.seed).choice(
-            len(dataset.data), size=n_real, replace=False
-        )
-        real = dataset.data[idx].reshape((-1,) + shape)
+        # reference protocol: the real set is the FULL training split
+        # (mnist_fid.py:156-193); --n-real subsamples for speed
+        n_real = min(len(dataset.data), args.n_real or len(dataset.data))
+        if n_real < len(dataset.data):
+            idx = np.random.RandomState(args.seed).choice(
+                len(dataset.data), size=n_real, replace=False
+            )
+            real = dataset.data[idx].reshape((-1,) + shape)
+        else:
+            real = dataset.data.reshape((-1,) + shape)
         kind_name = kind
         if kind == "trained":
+            if dataset.labels is None:
+                sys.exit(
+                    f"--features trained requires a labeled dataset; "
+                    f"{cfg.data.name} has no labels"
+                )
             from ctdd_tpu.metrics.fid import trained_classifier_features
 
             kind = trained_classifier_features(

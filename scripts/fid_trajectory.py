@@ -88,6 +88,18 @@ def main():
             "comparable to published Inception FIDs.",
             file=sys.stderr,
         )
+    else:
+        from ctdd_tpu.metrics.inception import inception_npz_family
+
+        family = inception_npz_family(weights)
+        print(f"Inception weights: family={family} ({weights})")
+        if family != "pytorch-fid":
+            print(
+                f"WARNING: npz family '{family}' != 'pytorch-fid' "
+                "(pt_inception-2015-12-05, ref mnist_is.py:15) — FIDs not "
+                "comparable to the reference's published numbers.",
+                file=sys.stderr,
+            )
 
     dataset = get_dataset(cfg)
     shape = tuple(cfg.data.shape)
@@ -99,6 +111,11 @@ def main():
 
     kind_name = kind
     if kind == "trained":
+        if dataset.labels is None:
+            sys.exit(
+                "--features trained requires a labeled dataset; "
+                f"{cfg.data.name} has no labels"
+            )
         from ctdd_tpu.metrics.fid import trained_classifier_features
 
         kind = trained_classifier_features(

@@ -58,6 +58,125 @@ def test_inception_runs_random_weights():
     assert np.isfinite(feats).all()
 
 
+@pytest.fixture(scope="module")
+def inception_variables():
+    import jax
+    import jax.numpy as jnp
+
+    from ctdd_tpu.metrics.inception import InceptionV3Features
+
+    net = InceptionV3Features()
+    # 75x75 is the smallest size whose stem survives the VALID convs; init
+    # only builds shapes, so it stands in for 299 here
+    return net.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3)))
+
+
+def _torchvision_named_arrays(variables, rng):
+    """Synthetic torchvision-shaped state dict covering every flax leaf."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(variables), sep="/"
+    )
+    arrays = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        modpath, leaf = parts[1:-2], parts[-2:]
+        tname = ".".join(modpath + [leaf[0]])
+        if leaf == ["conv", "kernel"]:
+            h, w, i, o = val.shape
+            arrays[tname + ".weight"] = rng.randn(o, i, h, w).astype(
+                np.float32
+            )
+        elif leaf == ["bn", "scale"]:
+            arrays[tname + ".weight"] = rng.randn(*val.shape).astype(
+                np.float32
+            )
+        elif leaf == ["bn", "bias"]:
+            arrays[tname + ".bias"] = rng.randn(*val.shape).astype(np.float32)
+        elif leaf == ["bn", "mean"]:
+            arrays[tname + ".running_mean"] = rng.randn(*val.shape).astype(
+                np.float32
+            )
+        elif leaf == ["bn", "var"]:
+            arrays[tname + ".running_var"] = np.abs(
+                rng.randn(*val.shape)
+            ).astype(np.float32)
+    return arrays
+
+
+def test_inception_npz_mapping_complete(tmp_path, inception_variables):
+    """Converter/loader completeness (VERDICT r2 #3): a torchvision-named
+    npz for every layer loads with zero unmapped flax leaves and zero
+    unconsumed arrays, and values land transposed correctly."""
+    import flax
+
+    from ctdd_tpu.metrics.inception import (
+        inception_npz_family, load_torch_inception_npz,
+    )
+
+    rng = np.random.RandomState(0)
+    arrays = _torchvision_named_arrays(inception_variables, rng)
+    # canonical invariants of the torchvision/pytorch-fid pool3 path:
+    # 94 BasicConv2d layers, each with conv.weight + 4 bn arrays
+    convs = [k for k in arrays if k.endswith(".conv.weight")]
+    assert len(convs) == 94, len(convs)
+    assert len(arrays) == 94 * 5
+    for name in (
+        "Conv2d_1a_3x3.conv.weight",
+        "Conv2d_4a_3x3.bn.running_var",
+        "Mixed_5b.branch5x5_2.conv.weight",
+        "Mixed_6e.branch7x7dbl_5.bn.weight",
+        "Mixed_7c.branch_pool.bn.running_mean",
+    ):
+        assert name in arrays, name
+
+    path = tmp_path / "inception.npz"
+    np.savez(path, _family=np.asarray("pytorch-fid"), **arrays)
+    assert inception_npz_family(str(path)) == "pytorch-fid"
+
+    loaded = load_torch_inception_npz(str(path), inception_variables)
+    flat = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(loaded), sep="/"
+    )
+    got = np.asarray(flat["params/Conv2d_1a_3x3/conv/kernel"])
+    want = np.transpose(arrays["Conv2d_1a_3x3.conv.weight"], (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    got_bn = np.asarray(flat["batch_stats/Mixed_7c/branch_pool/bn/mean"])
+    np.testing.assert_allclose(
+        got_bn, arrays["Mixed_7c.branch_pool.bn.running_mean"], rtol=1e-6
+    )
+
+
+def test_inception_npz_strict_failures(tmp_path, inception_variables):
+    from ctdd_tpu.metrics.inception import load_torch_inception_npz
+
+    rng = np.random.RandomState(1)
+    arrays = _torchvision_named_arrays(inception_variables, rng)
+
+    missing = dict(arrays)
+    missing.pop("Mixed_7b.branch1x1.conv.weight")
+    p1 = tmp_path / "missing.npz"
+    np.savez(p1, **missing)
+    with pytest.raises(ValueError, match="without a source array"):
+        load_torch_inception_npz(str(p1), inception_variables)
+
+    extra = dict(arrays)
+    extra["fc.weight"] = np.zeros((10, 2048), np.float32)
+    p2 = tmp_path / "extra.npz"
+    np.savez(p2, **extra)
+    with pytest.raises(ValueError, match="unconsumed"):
+        load_torch_inception_npz(str(p2), inception_variables)
+
+
+def test_inception_npz_family_unknown(tmp_path):
+    from ctdd_tpu.metrics.inception import inception_npz_family
+
+    p = tmp_path / "old.npz"
+    np.savez(p, x=np.zeros(3))
+    assert inception_npz_family(str(p)) == "unknown"
+
+
 def test_trained_classifier_features_discriminate():
     """Features trained as a classifier separate the classes the random-conv
     features cannot: FID between two halves of the same class distribution
