@@ -76,6 +76,10 @@ def main():
     from ctdd_tpu.training.train_step import make_train_step
 
     cfg = get_preset("tauUnet_mnist")
+    # BENCH_BATCH overrides the train batch (MFU-vs-batch sweeps; the
+    # flagship preset ships the reference's B=64)
+    if os.environ.get("BENCH_BATCH"):
+        cfg.data.batch_size = int(os.environ["BENCH_BATCH"])
     # batch 256 aligns the sample dim with MXU lanes: ~2x samples/s vs N=16
     # (measured 12.9 vs 6.3 on v5e)
     N_SAMPLE = 256

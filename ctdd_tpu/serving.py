@@ -31,10 +31,12 @@ class SamplerService:
         self.cfg = cfg
         self.batch = batch
         self.model = create_model(cfg)
+        self.has_label = bool(getattr(self.model, "has_label", False))
         D = cfg.model.concat_dim
+        init_label = jnp.zeros((2,), jnp.int32) if self.has_label else None
         params = self.model.init(
             jax.random.PRNGKey(0), jnp.zeros((2, D), jnp.int32),
-            jnp.full((2,), 0.5),
+            jnp.full((2,), 0.5), label=init_label,
         )
         state = create_train_state(params, get_optimizer(cfg))
         state = CheckpointManager(ckpt_dir).restore(state)
@@ -46,20 +48,42 @@ class SamplerService:
 
     def warmup(self):
         """Compile the sampler ahead of the first request."""
-        self._generate_batch(jax.random.PRNGKey(0))
+        label = [0] if self.has_label else None
+        self._generate_batch(jax.random.PRNGKey(0), label=label)
 
-    def _generate_batch(self, key) -> np.ndarray:
-        out = self.sampler.sample(self.model, self.params, key, N=self.batch)
+    def _generate_batch(self, key, label=None, cfg_scale: float = 0.0
+                        ) -> np.ndarray:
+        kwargs = {}
+        if label is not None:
+            # cycle the requested classes over the fixed compiled batch;
+            # label values are data (no recompile), cfg_scale is static
+            # (one compile per distinct scale)
+            kwargs["label"] = jnp.asarray(
+                np.resize(np.asarray(label, np.int32), self.batch)
+            )
+            kwargs["cfg_scale"] = float(cfg_scale)
+        out = self.sampler.sample(
+            self.model, self.params, key, N=self.batch, **kwargs
+        )
         return out[0] if isinstance(out, tuple) else out
 
-    def generate(self, n: int) -> np.ndarray:
-        """n samples, assembled from fixed-size compiled batches."""
+    def generate(self, n: int, label=None, cfg_scale: float = 0.0
+                 ) -> np.ndarray:
+        """n samples from fixed-size compiled batches; `label` is an optional
+        list of class ids cycled over the batch (label-conditional models
+        only), `cfg_scale` the classifier-free guidance scale."""
+        if label is not None and not self.has_label:
+            raise ValueError(
+                f"model {self.cfg.model.name} is not label-conditional"
+            )
         chunks = []
         produced = 0
         while produced < n:
             with self._lock:
                 self._key, sub = jax.random.split(self._key)
-            chunks.append(self._generate_batch(sub))
+            chunks.append(
+                self._generate_batch(sub, label=label, cfg_scale=cfg_scale)
+            )
             produced += self.batch
         return np.concatenate(chunks, axis=0)[:n]
 
@@ -79,19 +103,30 @@ def run_http_server(service: SamplerService, port: int = 8901):
             if url.path == "/healthz":
                 body = json.dumps(
                     {"ok": True, "step": service.step,
-                     "batch": service.batch}
+                     "batch": service.batch,
+                     "label_conditional": service.has_label}
                 ).encode()
                 self.send_response(200)
             elif url.path == "/generate":
                 try:
-                    n = int(parse_qs(url.query).get("n", ["16"])[0])
+                    q = parse_qs(url.query)
+                    n = int(q.get("n", ["16"])[0])
                     n = max(1, min(n, 4096))
-                    samples = service.generate(n)
+                    label = None
+                    if "label" in q:
+                        label = [int(c) for c in q["label"][0].split(",")]
+                    cfg_scale = float(q.get("cfg_scale", ["0.0"])[0])
+                    samples = service.generate(
+                        n, label=label, cfg_scale=cfg_scale
+                    )
                     body = json.dumps(
                         {"shape": list(samples.shape),
                          "samples": samples.tolist()}
                     ).encode()
                     self.send_response(200)
+                except ValueError as e:  # bad request (e.g. label on
+                    body = json.dumps({"error": str(e)}).encode()  # uncond)
+                    self.send_response(400)
                 except Exception as e:  # surface errors as 500 JSON
                     body = json.dumps({"error": str(e)}).encode()
                     self.send_response(500)

@@ -19,7 +19,8 @@ import pytest
 @pytest.mark.skipif(
     os.environ.get("CTDD_RUN_MULTIHOST") != "1",
     reason="2-process launcher takes ~20 min on the 1-vCPU box; "
-    "set CTDD_RUN_MULTIHOST=1 (verified green this round — see git log)",
+    "set CTDD_RUN_MULTIHOST=1. Last green run committed at "
+    "docs/assets/round3/multihost_dryrun.log",
 )
 def test_multihost_launcher():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
