@@ -112,7 +112,21 @@ def bin_mnist(cfg, root: Optional[str] = None) -> ArrayDataset:
 
 @registry.datasets.register(name="LakhPianoroll")
 def lakh_pianoroll(cfg, root: Optional[str] = None) -> ArrayDataset:
-    """(N, L) int npy loader (ref mnist.py:90-103)."""
+    """(N, L) int npy loader (ref mnist.py:90-103).
+
+    Falls back to the documented music-structured stand-in
+    (data/pianoroll.py) when the Lakh npy artifact is absent, so the
+    conditional stack trains and evaluates anywhere. PARITY-GAP: stand-in
+    numbers are not comparable to real-Lakh results.
+    """
     path = root or cfg.data.location
-    data = np.load(path)
-    return ArrayDataset(data.astype(np.int32))
+    if path and os.path.isfile(path):
+        data = np.load(path)
+        return ArrayDataset(data.astype(np.int32))
+    from ctdd_tpu.data.pianoroll import generate_standin
+
+    data = generate_standin(
+        int(cfg.data.get("num_samples", 8192)), length=int(cfg.data.shape[0]),
+        seed=int(cfg.data.get("seed", 0)),
+    )
+    return ArrayDataset(data)

@@ -49,6 +49,26 @@ def binary_exp_hamming_mmd(x, y, bandwidth: float = 0.1):
     return _binary_mmd(x, y, functools.partial(_exp_hamming_sim, bd=bandwidth))
 
 
+def _categorical_exp_hamming_sim(x, y, bd):
+    d = jnp.sum(x[:, None, :] != y[None, :, :], axis=-1)
+    return jnp.exp(-bd * d)
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth",))
+def categorical_exp_hamming_mmd(x, y, bandwidth: float = 0.1):
+    """Exp-Hamming MMD on integer token sequences (S > 2).
+
+    True Hamming count (x != y) rather than |x - y|: the reference's kernel
+    (metrics.py:13-21) uses the L1 form, which coincides with Hamming only
+    for binary data; its `!=` variant is present but commented out
+    (metrics.py:18). For categorical vocabularies (pianoroll S=129) the
+    count form is the meaningful kernel.
+    """
+    return _binary_mmd(
+        x, y, functools.partial(_categorical_exp_hamming_sim, bd=bandwidth)
+    )
+
+
 def exp_hamming_mmd(x, y, cfg, bandwidth: float = 0.1):
     """Float-space exp-Hamming MMD after Gray decode (ref metrics.py:142-166)."""
     from ctdd_tpu.data.synthetic import bin2float

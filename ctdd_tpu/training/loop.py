@@ -29,7 +29,7 @@ from ctdd_tpu.utils import bookkeeping
 
 
 def _save_sample_grid(cfg, model, state, sampler, writer, png_dir, step,
-                      n_samples: int = 16):
+                      n_samples: int = 16, dataset=None):
     """Sample with EMA weights, save a PNG grid (train_image.py:123-145).
 
     Label-conditional models get one row per class: a class-conditionally
@@ -41,6 +41,16 @@ def _save_sample_grid(cfg, model, state, sampler, writer, png_dir, step,
         n_classes = int(cfg.data.get("num_classes", 10))
         kwargs["label"] = np.arange(n_samples, dtype=np.int32) % n_classes
         kwargs["cfg_scale"] = float(cfg.sampler.get("cfg_scale", 0.0))
+    if getattr(sampler, "condition_dim", None):
+        # prefix-conditional samplers (ConditionalTauLeaping et al.) need a
+        # conditioner; use training-set prefixes (ref notebooks do the same)
+        if dataset is None or len(dataset) < n_samples:
+            return
+        cond_dim = int(sampler.condition_dim)
+        kwargs["conditioner"] = jnp.asarray(
+            np.asarray(dataset.data[:n_samples]).reshape(n_samples, -1)
+            [:, :cond_dim]
+        )
     out = sampler.sample(
         model, state.ema_params, jax.random.PRNGKey(step), N=n_samples, **kwargs
     )
@@ -307,10 +317,14 @@ def train(
             )
         if (it + 1) % checkpoint_freq == 0:
             ckpt.save(it + 1, state)
+            # make scalar history durable at every checkpoint boundary, so a
+            # killed/preempted run keeps a loss curve up to its last ckpt
+            writer.flush()
         # periodic sample grids with EMA weights (train_image.py:123-145)
         if sampler is not None and (it + 1) % sample_freq == 0:
             _save_sample_grid(
-                cfg, model, state, sampler, writer, paths["pngs"], it + 1
+                cfg, model, state, sampler, writer, paths["pngs"], it + 1,
+                dataset=dataset,
             )
     jax.block_until_ready(l) if n_iters > n_start else None
     elapsed = time.time() - (t_post_compile or t_start)

@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--metric", default="mmd",
                     choices=["mmd", "fid", "maze_acc", "sudoku_acc",
-                             "save_samples"])
+                             "cond_mmd", "save_samples"])
     # reference MMD protocol: 25 rounds x 4096 samples (eval_synthetic.py:159)
     ap.add_argument("--rounds", type=int, default=25)
     ap.add_argument("--samples", type=int, default=4096)
@@ -236,6 +236,71 @@ def main():
 
         s = sample_fn(key, args.samples)
         print(f"sudoku_acc: {sudoku_acc(s):.4f}")
+    elif args.metric == "cond_mmd":
+        # Conditional-generation quality (CondCTElbo + Conditional*TauLeaping,
+        # ref losses.py:547-781 / sampling.py:649-905): condition on GT
+        # prefixes and compare (prefix ⊕ generated suffix) against full GT
+        # sequences with a categorical exp-Hamming MMD. Anchors: GT-vs-GT
+        # (floor) and GT with suffixes shuffled across rows. Note the shuffle
+        # anchor is a weak detector of conditioner-ignoring (it preserves
+        # both marginals; a Hamming kernel sees the broken coupling only
+        # faintly at moderate n) — MMD here measures distributional quality;
+        # the sharp conditional signal on the stand-in is scale_consistency
+        # below.
+        from ctdd_tpu.metrics.mmd import categorical_exp_hamming_mmd
+
+        dataset = get_dataset(cfg)
+        cond_dim = int(cfg.sampler.condition_dim)
+        n = args.samples
+        if len(dataset.data) < 3 * n:
+            sys.exit(f"cond_mmd needs >= 3*samples rows ({3 * n}); dataset "
+                     f"has {len(dataset.data)}")
+        rng = np.random.RandomState(args.seed)
+        idx = rng.choice(len(dataset.data), size=3 * n, replace=False)
+        gt_a = np.asarray(dataset.data[idx[:n]])
+        gt_b = np.asarray(dataset.data[idx[n:2 * n]])
+        gt_c = np.asarray(dataset.data[idx[2 * n:]])
+        gen, bs, k = [], args.batch or n, key
+        for i in range(0, n, bs):
+            k, kk = jax.random.split(k)
+            m = min(bs, n - i)
+            gen.append(sampler.sample(
+                model, params, kk, N=m,
+                conditioner=jnp.asarray(gt_a[i:i + m, :cond_dim]),
+            ))
+        gen = np.concatenate(gen, axis=0)
+        shuffled = gt_a.copy()
+        shuffled[:, cond_dim:] = gt_a[rng.permutation(n), cond_dim:]
+        # median-heuristic bandwidth: the reference's fixed bd=0.1 is tuned
+        # for 32-dim binary data (d ~ 16); at D=256 categorical the kernel
+        # exp(-0.1 d) saturates to 0 for every pair and MMD loses all
+        # discrimination (measured: shuffled-suffix anchor lands at the
+        # gt-vs-gt floor). bd = ln2 / median_gt_distance puts the kernel at
+        # 0.5 for a typical pair at any D.
+        d_med = np.median(
+            (gt_b[:, None, :] != gt_c[None, :, :]).sum(axis=-1)
+        )
+        bd = float(np.log(2.0) / max(d_med, 1.0))
+        mmd_model = float(
+            categorical_exp_hamming_mmd(jnp.asarray(gen), jnp.asarray(gt_b), bd)
+        )
+        mmd_floor = float(
+            categorical_exp_hamming_mmd(jnp.asarray(gt_c), jnp.asarray(gt_b), bd)
+        )
+        mmd_shuf = float(
+            categorical_exp_hamming_mmd(jnp.asarray(shuffled), jnp.asarray(gt_b), bd)
+        )
+        print(f"cond_mmd: model={mmd_model:.6f} floor(gt-vs-gt)={mmd_floor:.6f} "
+              f"shuffled-suffix={mmd_shuf:.6f} "
+              f"[n={n} cond_dim={cond_dim} bandwidth={bd:.5f}]")
+        if cfg.data.name == "LakhPianoroll":
+            # stand-in structural metric: does the generated suffix stay in
+            # the musical key inferred from the prefix alone?
+            from ctdd_tpu.data.pianoroll import scale_consistency
+
+            print(f"scale_consistency: model={scale_consistency(gen, cond_dim):.4f} "
+                  f"gt={scale_consistency(gt_b, cond_dim):.4f} "
+                  f"shuffled={scale_consistency(shuffled, cond_dim):.4f}")
     else:
         s = sample_fn(key, args.samples)
         np.save(args.out, s)

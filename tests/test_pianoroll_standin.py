@@ -1,0 +1,89 @@
+"""Stand-in pianoroll generator + conditional scale-consistency metric."""
+
+import numpy as np
+
+from ctdd_tpu.data.pianoroll import (
+    REST, generate_standin, infer_key, scale_consistency,
+)
+
+
+def test_generator_shape_and_vocab():
+    x = generate_standin(16, length=256, seed=0)
+    assert x.shape == (16, 256) and x.dtype == np.int32
+    assert x.min() >= 0 and x.max() <= REST
+    # notes (non-rest) stay in playable register
+    notes = x[x != REST]
+    assert notes.min() >= 24 and notes.max() <= 104
+
+
+def test_generator_deterministic_per_seed():
+    a = generate_standin(4, seed=7)
+    b = generate_standin(4, seed=7)
+    c = generate_standin(4, seed=8)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_prefix_key_inference_above_chance():
+    # a 32-token prefix carries ~4 distinct pitch classes, so the exact key
+    # is ambiguous among neighbours sharing 6/7 notes — but inference is far
+    # above the 1/12 chance rate, and scale_consistency (which only needs a
+    # *compatible* key, not the exact one) is the metric that matters
+    x = generate_standin(64, seed=1)
+    k_prefix = infer_key(x[:, :32])
+    k_suffix = infer_key(x[:, 32:])
+    assert (k_prefix == k_suffix).mean() > 0.35
+
+
+def test_scale_consistency_separates_gt_from_shuffled():
+    x = generate_standin(128, seed=2)
+    gt = scale_consistency(x, cond_dim=32)
+    rng = np.random.RandomState(0)
+    shuffled = x.copy()
+    shuffled[:, 32:] = x[rng.permutation(len(x)), 32:]
+    shuf = scale_consistency(shuffled, cond_dim=32)
+    assert gt > 0.85          # suffix stays in a prefix-compatible key
+    assert shuf < gt - 0.2    # breaking the coupling is detectable
+
+
+def test_loader_fallback_generates_standin():
+    from ctdd_tpu.config.presets import get_preset
+    from ctdd_tpu.data.loaders import get_dataset
+
+    cfg = get_preset("pianoroll_cond")
+    cfg.data.num_samples = 64
+    ds = get_dataset(cfg)
+    assert ds.data.shape == (64, 256)
+    assert ds.data.max() <= 128
+
+
+def test_conditional_train_loop_samples_with_conditioner(tmp_path):
+    # end-to-end: the periodic sample grid must feed prefix conditioners to
+    # conditional samplers instead of crashing on the missing-conditioner
+    # assert (regression: train --preset pianoroll_cond died at the first
+    # sample_freq boundary)
+    from ctdd_tpu.config.presets import get_preset
+    from ctdd_tpu.training.loop import train
+
+    cfg = get_preset("pianoroll_cond")
+    cfg.save_location = str(tmp_path)
+    cfg.data.num_samples = 64
+    cfg.data.batch_size = 8
+    cfg.data.shape = [24]
+    cfg.model.concat_dim = 24
+    cfg.model.num_layers = 1
+    cfg.model.d_model = 16
+    cfg.model.num_heads = 2
+    cfg.model.dim_feedforward = 32
+    cfg.model.temb_dim = 8
+    cfg.loss.condition_dim = 6
+    cfg.sampler.condition_dim = 6
+    cfg.sampler.num_steps = 3
+    cfg.sampler.sample_freq = 4
+    cfg.saving.checkpoint_freq = 8
+    state, info = train(cfg, n_iters=8, writer_kind="none")
+    assert int(state.step) == 8
+    import glob
+    import os
+
+    assert glob.glob(os.path.join(info["paths"]["pngs"], "samples_*.npy"))
