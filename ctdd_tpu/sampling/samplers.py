@@ -811,10 +811,23 @@ class ConditionalPCTauLeaping(_ConditionalBase):
 class ExactSampling(_SamplerBase):
     """Exact reverse-CTMC ancestral step via q_{t-h|0} and q_{t|t-h}.
 
-    The reference materializes an (N, D, S, S) tensor and logsumexps it
-    (sampling.py:1047-1052). We use the factorization
-        p(x_{t-h}=k | x_t) ∝ (p0t @ q_{t-h|0})[k] · q_{t|t-h}(x_t | k)
-    — one (N,D,S)x(N,S,S) MXU matmul plus a column gather, S× less memory.
+    Per-dim bridge posterior, marginalized over the model's x0:
+        p(x_{t-h}=k | x_t, x0=s) = q_{t-h|0}(k|s) · q_{t|t-h}(x_t|k) / q_{t|0}(x_t|s)
+        p(x_{t-h}=k | x_t)       = Σ_s p0t(s|x_t) · p(k | x_t, s)
+    computed as one (N,D,S)x(S,S) MXU matmul plus a column gather — S× less
+    memory than the reference's (N,D,S,S) logsumexp (sampling.py:1047-1052).
+
+    NOTE a deliberate parity break: the reference OMITS the 1/q_{t|0}(x_t|s)
+    bridge denominator (sampling.py:1040-1052 multiplies q_teps_0 by
+    q_t_teps only), which biases the mixture toward x0-states that explain
+    x_t and suppresses late-time corrections by a factor of ~q_{t|0}'s
+    off-diagonal mass (≈0.02 at t=0.1 on the maze process) — measured on a
+    trained maze net, its one-step kernel carries 27× too little jump mass
+    at t=0.1 vs the CTElbo reverse rates, the chain freezes, and maze
+    solvability collapses to ~0%. With the denominator the h→0 limit of
+    this kernel IS the tauLDR reverse rate R̂ (identical to get_reverse_rates'
+    CTElbo path), the oracle convergence test passes at tight min_t, and
+    trained-net Exact quality matches the other samplers.
     """
 
     def _sample_loop(self, model, params, key, N):
@@ -829,17 +842,20 @@ class ExactSampling(_SamplerBase):
         def step(x, inp):
             t, h, k = inp
             t_ones = t * jnp.ones((N,), jnp.float32)
-            t_eps = t_ones - h
             logits = self._net_logits(model, params, x, t_ones)
             p0t = jax.nn.softmax(logits, axis=-1)  # (N, D, S)
 
             t1 = jnp.reshape(t, (1,)).astype(jnp.float32)
             q_teps_0 = model.transition(t1 - h)[0]  # (S, S)
             q_t_teps = model.transit_between(t1 - h, t1)[0]  # (S, S)
+            qt0 = model.transition(t1)[0]  # (S, S)
             # q_{t|t-h}(x_t | k) as a function of k, per dim:
             trans_cols = jnp.take(q_t_teps.T, x, axis=0)  # (N, D, S)
+            # bridge denominator q_{t|0}(x_t | s) as a function of s:
+            qt0_denom = jnp.take(qt0.T, x, axis=0) + self.eps_ratio  # (N, D, S)
             marg = jnp.einsum(
-                "bds,sk->bdk", p0t, q_teps_0, preferred_element_type=jnp.float32
+                "bds,sk->bdk", p0t / qt0_denom, q_teps_0,
+                preferred_element_type=jnp.float32,
             )
             log_prob = safe_log(marg) + safe_log(trans_cols)
             x_new = jax.random.categorical(k, log_prob, axis=-1)

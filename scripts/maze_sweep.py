@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--num-steps", default="200,1000")
     ap.add_argument("--correctors", default="off,on")
     ap.add_argument("--params", default="ema,raw")
+    ap.add_argument("--tag", default="",
+                    help="free-form provenance tag recorded on every row "
+                         "(e.g. a code-fix marker distinguishing re-runs)")
     args = ap.parse_args()
 
     from train import apply_overrides, parse_overrides  # noqa: F401
@@ -100,6 +103,8 @@ def main():
                         "params": which, "n": int(len(samples)),
                         "maze_acc": round(float(acc), 4),
                     }
+                    if args.tag:
+                        rec["tag"] = args.tag
                     with open(args.out, "a") as f:
                         f.write(json.dumps(rec) + "\n")
                     print(json.dumps(rec), flush=True)

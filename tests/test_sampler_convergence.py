@@ -216,3 +216,50 @@ def test_oracle_convergence_with_fused_update(sampler_name):
     samples = out[0] if isinstance(out, tuple) else out
     frac_zero = float(np.mean(samples == 0))
     assert frac_zero > 0.9, f"{sampler_name}: {frac_zero}"
+
+
+def test_exact_final_bridge_step_samples_p0t_exactly():
+    """The t→0 bridge step of ExactSampling must sample exactly p0t.
+
+    With one step (ts = [max_t] ⊕ [0]), the bridge posterior is
+        p(k|x_t) = Σ_s p0t(s)·q_{0|0}(k|s)·q_{t|0}(x_t|k)/q_{t|0}(x_t|s)
+                 = p0t(k)  (q_{0|0} = I; numerator/denominator cancel).
+    The reference's ExactSampling omits the 1/q_{t|0}(x_t|s) bridge
+    denominator (sampling.py:1040-1052) and samples ∝ p0t(k)·q_{t|0}(x_t|k)
+    instead — biased toward staying at x_t, which at small t freezes the
+    chain entirely (measured 27× too little jump mass at t=0.1 on a trained
+    maze net). This pins the corrected kernel.
+    """
+
+    class FixedLogitsNet(nn.Module):
+        S: int
+
+        @nn.compact
+        def __call__(self, x, t, train: bool = False):
+            _ = self.param("dummy", nn.initializers.zeros, (1,))
+            base = jax.random.normal(jax.random.PRNGKey(42), (self.S,)) * 1.5
+            return jnp.broadcast_to(base, (x.shape[0], x.shape[1], self.S))
+
+    cfg = get_preset("mlp_synthetic")
+    S, D = 4, 512
+    cfg.data.S = S
+    cfg.data.shape = [D]
+    cfg.model.concat_dim = D
+    cfg.model.rate_const = 1.0
+    cfg.loss.name = "CatRM"
+    cfg.loss.logit_type = "direct"
+    cfg.sampler.name = "ExactSampling"
+    cfg.sampler.num_steps = 1
+    model = DiffusionModel(
+        module=FixedLogitsNet(S=S), process=make_uniform(S, 1.0), cfg=cfg
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, D), jnp.int32), jnp.full((2,), 0.5)
+    )
+    sampler = get_sampler(cfg)
+    samples, _ = sampler.sample(model, params, jax.random.PRNGKey(1), N=64)
+    hist = np.bincount(np.asarray(samples).ravel(), minlength=S) / samples.size
+    expect = np.asarray(
+        jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(42), (S,)) * 1.5)
+    )
+    np.testing.assert_allclose(hist, expect, atol=0.02)
