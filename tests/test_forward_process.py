@@ -172,3 +172,47 @@ def test_gaussian_target_matches_expm():
     want[want < 1e-8] = 0.0
     got = np.asarray(proc.transition(jnp.array([t])))[0]
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+@pytest.mark.parametrize(
+    "maker,integral_of",
+    [
+        (lambda: fp.make_uniform(4, 1.5), lambda t: 1.5 * 0 + t * 1.5),
+        (
+            lambda: fp.make_uniform_variant(3, rate_const=2.0, t_func="log_sqr"),
+            None,  # read the integral off the process schedule below
+        ),
+        (
+            lambda: fp.make_uniform_variant(
+                4, rate_const=1.0, t_func="log", time_base=3.0, time_exp=100.0
+            ),
+            None,
+        ),
+    ],
+)
+@pytest.mark.parametrize("t1,t2", [(0.005, 0.01), (0.05, 0.1), (0.001, 0.002)])
+def test_transit_between_matches_expm_small_intervals(maker, integral_of, t1, t2):
+    """q_{t2|t1} == expm(R_base · (∫β(t2) − ∫β(t1))) at SMALL times.
+
+    The regime that matters for exact reverse sampling near t→0 (the
+    round-3 ExactSampling bridge bug lived entirely below t=0.15); the
+    semigroup test above only pins (0.2, 0.6).
+    """
+    proc = maker()
+    d = float(
+        fp._beta_integral(proc.schedule, proc.schedule_params, jnp.array(t2))
+        - fp._beta_integral(proc.schedule, proc.schedule_params, jnp.array(t1))
+    )
+    want = expm(np.asarray(proc.base_rate, np.float64) * d)
+    want = want / want.sum(-1, keepdims=True)
+    want[want < proc.clamp] = 0.0
+    got = np.asarray(
+        proc.transit_between(jnp.array([t1]), jnp.array([t2]))
+    )[0]
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # row-stochastic; diagonally dominant whenever the rate integral is
+    # actually small (the "log" schedule with time_exp=100 has ∫β ≈ 1 even
+    # over [0.05, 0.1] — there only the expm match above applies)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+    if d < 0.05:
+        assert np.all(np.diag(got) > 0.9)
