@@ -15,6 +15,7 @@ _PRESETS = {
     "tauUnet_mnist": "ctdd_tpu.config.presets.mnist_tau_unet",
     "tauUnet_mnist_ll": "ctdd_tpu.config.presets.mnist_tau_unet_ll",
     "hollow_mnist": "ctdd_tpu.config.presets.mnist_hollow",
+    "holvisual_mnist": "ctdd_tpu.config.presets.mnist_hollow_crm",
     "bert_mnist": "ctdd_tpu.config.presets.mnist_bert",
     "dit_mnist": "ctdd_tpu.config.presets.mnist_dit",
     "uvit_mnist": "ctdd_tpu.config.presets.mnist_uvit",
