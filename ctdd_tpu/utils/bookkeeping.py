@@ -39,7 +39,26 @@ def create_experiment_folder(save_location: str, experiment_name: str) -> dict:
     }
     for p in paths.values():
         os.makedirs(p, exist_ok=True)
+    save_git_hash(folder)
     return paths
+
+
+def save_git_hash(save_dir: str) -> None:
+    """Stamp the run folder with the current commit (ref bookkeeping.py:63-68).
+
+    Best-effort: silently skipped outside a git checkout."""
+    import subprocess
+
+    try:
+        h = subprocess.check_output(
+            ["git", "rev-parse", "--verify", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stderr=subprocess.DEVNULL,
+        ).decode()
+        with open(os.path.join(save_dir, "git_hash.txt"), "w") as f:
+            f.write(h)
+    except Exception:
+        pass
 
 
 class CheckpointManager:
