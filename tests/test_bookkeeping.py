@@ -16,6 +16,24 @@ def test_experiment_folder_layout(tmp_path):
         assert os.path.isdir(paths[k])
 
 
+def test_experiment_folder_git_hash_stamp(tmp_path):
+    # ref bookkeeping.py:63-68: run folders record the commit they ran from
+    import subprocess
+
+    paths = bookkeeping.create_experiment_folder(str(tmp_path), "exp")
+    stamp = os.path.join(paths["root"], "git_hash.txt")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        head = subprocess.check_output(
+            ["git", "rev-parse", "--verify", "HEAD"], cwd=repo
+        ).decode()
+    except Exception:
+        pytest.skip("not a git checkout")
+    assert os.path.exists(stamp)
+    with open(stamp) as f:
+        assert f.read().strip() == head.strip()
+
+
 def test_numpy_writer(tmp_path):
     w = bookkeeping.NumpyWriter(str(tmp_path))
     for i in range(5):

@@ -182,3 +182,26 @@ def test_gray_binarization_roundtrip_and_reference_parity():
         expect = sx[0] + np.binary_repr(g, width=b)
         got = "".join(map(str, bits[list(pts[:, 0]).index(x)][:16]))
         assert got == expect
+
+
+def test_generator_cli_writes_npy(tmp_path, monkeypatch):
+    # parity with the reference's standalone generator CLI (synthetic.py:273-317)
+    import sys
+
+    from ctdd_tpu.data import synthetic as syn
+
+    out = tmp_path / "data_2spirals.npy"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["synthetic", "--type", "2spirals", "--num-samples", "500",
+         "--out", str(out), "--seed", "3"],
+    )
+    syn._main()
+    data = np.load(out)
+    assert data.shape == (500, 32) and data.dtype == np.int8
+    assert set(np.unique(data)) <= {0, 1}
+    # decoded floats land in the generator's float envelope
+    f = syn.bin2float(data.astype(np.int32), 32,
+                      syn.OnlineToyDataset("2spirals", seed=3).int_scale,
+                      "gray")
+    assert np.all(np.abs(f) < 10.0)
