@@ -1,4 +1,4 @@
-"""Sampler/EMA sweep over a maze checkpoint: root-cause the quality gap.
+"""Sampler/EMA decode sweep over a trained checkpoint (maze or sudoku).
 
 Round-2 found maze exact-solvability at 240k (37.1%, stream_fresh) below the
 12k snapshot (45%) without explanation. This sweep evaluates ONE checkpoint
@@ -10,6 +10,10 @@ writing one JSON line per cell to --out.
 
     python scripts/maze_sweep.py --ckpt runs/maze_unet/<date>/<run>/checkpoints \
         --step 240000 --samples 512 --out docs/assets/round3/maze_sweep.jsonl
+
+Round 3 extended it to sudoku (--preset sudoku --metric sudoku_acc): the maze
+sweep showed decode settings are worth many accuracy points, so the same
+factor grid is applied to the 400k stream_fresh sudoku checkpoint.
 """
 
 from __future__ import annotations
@@ -43,6 +47,10 @@ def main():
     ap.add_argument("--num-steps", default="200,1000")
     ap.add_argument("--correctors", default="off,on")
     ap.add_argument("--params", default="ema,raw")
+    ap.add_argument("--metric", default=None,
+                    choices=[None, "maze_acc", "sudoku_acc"],
+                    help="quality metric; default: sudoku_acc when the "
+                         "preset name contains 'sudoku', else maze_acc")
     ap.add_argument("--tag", default="",
                     help="free-form provenance tag recorded on every row "
                          "(e.g. a code-fix marker distinguishing re-runs)")
@@ -51,12 +59,19 @@ def main():
     from train import apply_overrides, parse_overrides  # noqa: F401
 
     from ctdd_tpu.config.presets import get_preset
-    from ctdd_tpu.data.maze import maze_acc
     from ctdd_tpu.models.base import create_model
     from ctdd_tpu.sampling.samplers import get_sampler
     from ctdd_tpu.training.optimizers import get_optimizer
     from ctdd_tpu.training.state import create_train_state
     from ctdd_tpu.utils.bookkeeping import CheckpointManager
+
+    metric_name = args.metric or (
+        "sudoku_acc" if "sudoku" in args.preset else "maze_acc"
+    )
+    if metric_name == "sudoku_acc":
+        from ctdd_tpu.data.sudoku import sudoku_acc as metric_fn
+    else:
+        from ctdd_tpu.data.maze import maze_acc as metric_fn
 
     cfg = get_preset(args.preset)
     model = create_model(cfg)
@@ -96,12 +111,12 @@ def main():
                         )
                         outs.append(out[0] if isinstance(out, tuple) else out)
                     samples = np.concatenate(outs, axis=0)
-                    acc = maze_acc(samples)
+                    acc = metric_fn(samples)
                     rec = {
                         "step": step, "sampler": sampler_name,
                         "num_steps": num_steps, "corrector": corrector,
                         "params": which, "n": int(len(samples)),
-                        "maze_acc": round(float(acc), 4),
+                        metric_name: round(float(acc), 4),
                     }
                     if args.tag:
                         rec["tag"] = args.tag
