@@ -103,13 +103,20 @@ def main():
                     p = state.ema_params if which == "ema" else state.params
                     outs = []
                     key = jax.random.PRNGKey(args.seed)
-                    for i in range(0, args.samples, args.batch):
-                        key, k = jax.random.split(key)
-                        out = sampler.sample(
-                            model, p, k,
-                            N=min(args.batch, args.samples - i),
-                        )
-                        outs.append(out[0] if isinstance(out, tuple) else out)
+                    try:
+                        for i in range(0, args.samples, args.batch):
+                            key, k = jax.random.split(key)
+                            out = sampler.sample(
+                                model, p, k,
+                                N=min(args.batch, args.samples - i),
+                            )
+                            outs.append(
+                                out[0] if isinstance(out, tuple) else out
+                            )
+                    except Exception as e:  # one bad cell must not kill the grid
+                        print(f"cell failed: {sampler_name}/{num_steps}/"
+                              f"{corrector}/{which}: {e!r}", flush=True)
+                        continue
                     samples = np.concatenate(outs, axis=0)
                     acc = metric_fn(samples)
                     rec = {
