@@ -63,41 +63,25 @@ def _compiled_flops(jitted, *args):
         return 0.0
 
 
-def _arm_device_watchdog(seconds: float) -> "threading.Event":
-    """Abort with an explicit JSON error if device init wedges.
-
-    The axon TPU tunnel can wedge at the claim step (observed round 3:
-    jax.devices() blocks forever while the pool re-provisions after a
-    worker crash). A hung bench records nothing; this prints a
-    machine-readable error line and exits instead. Disarm by setting the
-    returned event once devices are live.
-    """
-    import threading
-
-    ok = threading.Event()
-
-    def _watch():
-        if not ok.wait(seconds):
-            print(json.dumps({
-                "metric": "mnist_taul_samples_per_sec", "value": 0.0,
-                "unit": "samples/sec", "vs_baseline": 0.0,
-                "error": f"device init exceeded {seconds:.0f}s "
-                         "(TPU tunnel wedged/pool unavailable)",
-            }), flush=True)
-            os._exit(3)
-
-    threading.Thread(target=_watch, daemon=True).start()
-    return ok
+def _bench_error_line(seconds: float) -> None:
+    print(json.dumps({
+        "metric": "mnist_taul_samples_per_sec", "value": 0.0,
+        "unit": "samples/sec", "vs_baseline": 0.0,
+        "error": f"device init exceeded {seconds:.0f}s "
+                 "(TPU tunnel wedged/pool unavailable)",
+    }), flush=True)
 
 
 def main():
     from ctdd_tpu.utils.compile_cache import enable_compile_cache
+    from ctdd_tpu.utils.device_guard import guard_device_init
 
     enable_compile_cache()
-    device_ok = _arm_device_watchdog(
-        float(os.environ.get("BENCH_DEVICE_TIMEOUT", "900")))
-    jax.devices()  # blocks here if the tunnel is wedged
-    device_ok.set()
+    guard_device_init(
+        timeout=float(os.environ["BENCH_DEVICE_TIMEOUT"])
+        if os.environ.get("BENCH_DEVICE_TIMEOUT") else None,
+        on_timeout=_bench_error_line,
+    )
     from ctdd_tpu.config.presets import get_preset
     from ctdd_tpu.losses.losses import get_loss
     from ctdd_tpu.models.base import create_model

@@ -40,8 +40,10 @@ def apply_overrides(cfg, overrides):
 
 def main():
     from ctdd_tpu.utils.compile_cache import enable_compile_cache
+    from ctdd_tpu.utils.device_guard import guard_device_init
 
     enable_compile_cache()
+    guard_device_init()  # fail fast (exit 3) if the TPU claim wedges
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", required=True)
     ap.add_argument("--iters", type=int, default=None)
