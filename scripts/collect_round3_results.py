@@ -76,15 +76,23 @@ def main():
     p = os.path.join(Q, "cond_eval.log")
     if os.path.exists(p):
         print("cond eval:")
-        for line in open(p):
-            if "cond_mmd" in line or "scale_consistency" in line:
-                print("  " + line.strip())
+        keep = [l.strip() for l in open(p)
+                if "cond_mmd" in l or "scale_consistency" in l]
+        for line in keep:
+            print("  " + line)
+        if keep:
+            with open(os.path.join(OUT, "cond_eval.txt"), "w") as f:
+                f.write("\n".join(keep) + "\n")
     p = os.path.join(Q, "d3pm_eval.log")
     if os.path.exists(p):
         print("d3pm eval:")
-        for line in open(p):
-            if "mmd" in line.lower():
-                print("  " + line.strip())
+        keep = [l.strip() for l in open(p)
+                if "mmd" in l.lower() and "warning" not in l.lower()]
+        for line in keep:
+            print("  " + line)
+        if keep:
+            with open(os.path.join(OUT, "d3pm_eval.txt"), "w") as f:
+                f.write("\n".join(keep) + "\n")
 
 
 if __name__ == "__main__":
