@@ -48,7 +48,11 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):
     sigma2 = np.atleast_2d(sigma2)
     diff = mu1 - mu2
 
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    # scipy >= 1.16 deprecates disp= and returns just the array; the
+    # reference's (sqrtm, errest) unpacking (mnist_fid.py:76) is version-bound.
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    if isinstance(covmean, tuple):
+        covmean = covmean[0]
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
