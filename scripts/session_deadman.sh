@@ -16,6 +16,15 @@
 set -u
 HB="$1"; STALE="$2"; shift 2
 PIDFILES=("$@")
+
+descendants() {  # print the full /proc subtree of $1, deepest first
+    local c
+    for c in $(ps -o pid= --ppid "$1" 2>/dev/null); do
+        descendants "$c"
+        echo "$c"
+    done
+}
+
 while true; do
     AGE=$(( $(date +%s) - $(stat -c %Y "$HB" 2>/dev/null || echo 0) ))
     if [ "$AGE" -gt "$STALE" ]; then
@@ -23,7 +32,10 @@ while true; do
         for f in "${PIDFILES[@]}"; do
             P=$(cat "$f" 2>/dev/null) || continue
             [ -n "$P" ] || continue
-            for C in $(ps -o pid= --ppid "$P" 2>/dev/null); do
+            # queue shells run trainers under timeout/watchdog wrappers;
+            # killing one level would orphan the leaf python — walk the
+            # whole subtree, leaves first
+            for C in $(descendants "$P"); do
                 kill -9 "$C" 2>/dev/null
             done
             kill -9 "$P" 2>/dev/null && echo "deadman: killed $P ($f)"
