@@ -8,7 +8,12 @@
 # the last archived one. Orbax finalizes a step by renaming its tmp dir, so any
 # plain numeric step dir is safe to copy.
 #
-# Usage: snapshot_collector.sh <checkpoints_dir> <snapshot_dst> [interval_steps] [poll_s]
+# SRC may be a glob (quote it!): watchdog-relaunched runs under auto-resume
+# create a NEW dated run dir per relaunch, so a fixed checkpoints dir goes
+# stale mid-run. Passing e.g. 'runs/mnist_ll/*/*/checkpoints' scans every
+# run dir and archives the globally newest finalized step.
+#
+# Usage: snapshot_collector.sh <checkpoints_dir_or_glob> <snapshot_dst> [interval_steps] [poll_s]
 set -u
 SRC="$1"; DST="$2"; INTERVAL="${3:-60000}"; POLL="${4:-300}"
 mkdir -p "$DST"
@@ -19,15 +24,15 @@ for d in "$DST"/*; do
 done
 echo "snapshot_collector: src=$SRC dst=$DST interval=$INTERVAL last=$last"
 while true; do
-    newest=-1
-    for d in "$SRC"/*; do
+    newest=-1; newest_dir=""
+    for d in $SRC/*; do        # unquoted: SRC may be a glob over run dirs
         b=$(basename "$d" 2>/dev/null)
-        [[ "$b" =~ ^[0-9]+$ ]] && (( b > newest )) && newest=$b
+        [[ "$b" =~ ^[0-9]+$ ]] && (( b > newest )) && { newest=$b; newest_dir="$d"; }
     done
     if (( newest >= 0 )) && { (( last < 0 )) || (( newest >= last + INTERVAL )); }; then
-        cp -r "$SRC/$newest" "$DST/$newest.tmp" && mv "$DST/$newest.tmp" "$DST/$newest"
+        cp -r "$newest_dir" "$DST/$newest.tmp" && mv "$DST/$newest.tmp" "$DST/$newest"
         last=$newest
-        echo "snapshot_collector: archived step $newest"
+        echo "snapshot_collector: archived step $newest from $newest_dir"
     fi
     sleep "$POLL"
 done
