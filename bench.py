@@ -75,8 +75,13 @@ def _bench_error_line(seconds: float) -> None:
 def main():
     from ctdd_tpu.utils.compile_cache import enable_compile_cache
     from ctdd_tpu.utils.device_guard import guard_device_init
+    from ctdd_tpu.utils.reap import reap_orchestrated_jobs
 
     enable_compile_cache()
+    # The end-of-round driver runs bench on the same single tunneled chip our
+    # unattended queue may still be training on; stop our own pid-file-tracked
+    # jobs first so the measurement is uncontended (CTDD_BENCH_NO_REAP=1 skips).
+    reap_orchestrated_jobs()
     guard_device_init(
         timeout=float(os.environ["BENCH_DEVICE_TIMEOUT"])
         if os.environ.get("BENCH_DEVICE_TIMEOUT") else None,

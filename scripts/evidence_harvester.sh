@@ -18,7 +18,8 @@ while true; do
     [ -f runs/mnist_ll_fid_stats/fid_stats.jsonl ] && \
         cp runs/mnist_ll_fid_stats/fid_stats.jsonl "docs/assets/$TAG/fid_stats.jsonl"
     for f in queue_r3 fid_stats cond cond_eval sudoku sudoku_sweep \
-             pytest_fast pytest_slow cifar flagship; do
+             pytest_fast pytest_slow cifar cifar_eval d3pm d3pm_eval \
+             flagship; do
         [ -f "/tmp/$f.log" ] && tail -c 100000 "/tmp/$f.log" > "$D/$f.log"
     done
     sleep 120

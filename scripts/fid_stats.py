@@ -56,6 +56,11 @@ def main():
                     choices=["trained", "lenet", "inception"])
     ap.add_argument("--inception-weights", default=None)
     ap.add_argument("--out", default="runs/fid_stats")
+    ap.add_argument("--skip-done", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="skip cells already present in the out jsonl "
+                         "(same step+features), so a timed-out run can be "
+                         "re-invoked and only compute what's missing")
     ap.add_argument("--set", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -103,7 +108,25 @@ def main():
         )
 
     os.makedirs(args.out, exist_ok=True)
-    log = open(os.path.join(args.out, "fid_stats.jsonl"), "a")
+    log_path = os.path.join(args.out, "fid_stats.jsonl")
+
+    # Rerun support: records are appended+flushed one cell at a time, so a
+    # timed-out run leaves a valid prefix; with --skip-done a re-invocation
+    # only computes the missing cells (keyed by step+features+kind[+cell]).
+    done, prior_fids = set(), {}
+    if args.skip_done and os.path.exists(log_path):
+        for line in open(log_path):
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue
+            done.add((r.get("step"), r.get("features"), r.get("kind"),
+                      r.get("sampler"), r.get("seed")))
+            if r.get("kind") == "model":
+                prior_fids[(r.get("step"), r.get("features"),
+                            r.get("sampler"), r.get("seed"))] = r.get("fid")
+
+    log = open(log_path, "a")
 
     def emit(rec):
         line = json.dumps(rec)
@@ -119,30 +142,32 @@ def main():
     real_feats = get_activations(real, feat_fn)
 
     # Real-vs-real split floor, re-estimated over N random half-splits.
-    floors = []
-    for s in range(args.seeds):
-        perm = np.random.RandomState(1000 + s).permutation(n_real)
-        half = n_real // 2
-        floors.append(
-            fid_between(real_feats[perm[:half]], real_feats[perm[half:]])
-        )
-    emit({
-        "step": step, "kind": "floor_split", "features": args.features,
-        "fid_mean": round(float(np.mean(floors)), 6),
-        "fid_std": round(float(np.std(floors)), 6),
-        "n_per_side": n_real // 2, "n_splits": args.seeds,
-    })
+    if (step, args.features, "floor_split", None, None) not in done:
+        floors = []
+        for s in range(args.seeds):
+            perm = np.random.RandomState(1000 + s).permutation(n_real)
+            half = n_real // 2
+            floors.append(
+                fid_between(real_feats[perm[:half]], real_feats[perm[half:]])
+            )
+        emit({
+            "step": step, "kind": "floor_split", "features": args.features,
+            "fid_mean": round(float(np.mean(floors)), 6),
+            "fid_std": round(float(np.std(floors)), 6),
+            "n_per_side": n_real // 2, "n_splits": args.seeds,
+        })
 
     # Uniform-noise anchor (scale calibration).
-    S = int(cfg.data.S)
-    noise = np.random.RandomState(7).randint(
-        0, S, size=(min(args.samples, 4096),) + shape
-    ).astype(np.float32)
-    noise_feats = get_activations(noise, feat_fn)
-    emit({
-        "step": step, "kind": "noise_anchor", "features": args.features,
-        "fid": round(fid_between(noise_feats, real_feats), 6),
-    })
+    if (step, args.features, "noise_anchor", None, None) not in done:
+        S = int(cfg.data.S)
+        noise = np.random.RandomState(7).randint(
+            0, S, size=(min(args.samples, 4096),) + shape
+        ).astype(np.float32)
+        noise_feats = get_activations(noise, feat_fn)
+        emit({
+            "step": step, "kind": "noise_anchor", "features": args.features,
+            "fid": round(fid_between(noise_feats, real_feats), 6),
+        })
 
     for sampler_name in args.samplers.split(","):
         scfg = apply_overrides(
@@ -152,8 +177,14 @@ def main():
         if sampler_name == "MidPointTauL":
             scfg.sampler.num_corrector_steps = 0
         sampler = get_sampler(scfg)
-        fids = []
+        fids, fresh = [], False
         for seed in range(args.seeds):
+            if (step, args.features, "model", sampler_name, seed) in done:
+                fids.append(
+                    prior_fids[(step, args.features, sampler_name, seed)]
+                )
+                continue
+            fresh = True
             outs, key = [], jax.random.PRNGKey(100 + seed)
             for i in range(0, args.samples, args.batch):
                 key, k = jax.random.split(key)
@@ -174,13 +205,15 @@ def main():
                 "n_real": int(n_real),
                 "num_steps": int(scfg.sampler.num_steps),
             })
-        emit({
-            "step": step, "kind": "model_agg", "sampler": sampler_name,
-            "features": args.features,
-            "fid_mean": round(float(np.mean(fids)), 6),
-            "fid_std": round(float(np.std(fids)), 6),
-            "n_seeds": args.seeds, "n_samples": args.samples,
-        })
+        if fresh or (step, args.features, "model_agg",
+                     sampler_name, None) not in done:
+            emit({
+                "step": step, "kind": "model_agg", "sampler": sampler_name,
+                "features": args.features,
+                "fid_mean": round(float(np.mean(fids)), 6),
+                "fid_std": round(float(np.std(fids)), 6),
+                "n_seeds": args.seeds, "n_samples": args.samples,
+            })
 
 
 if __name__ == "__main__":

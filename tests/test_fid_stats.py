@@ -75,3 +75,22 @@ def test_fid_stats_cli(tmp_path, monkeypatch):
     assert len(per_seed) == 2 and all(
         r["fid"] >= 0 and r["n_samples"] == 16 for r in per_seed
     )
+
+    # Rerun with --skip-done (the default): every cell is already in the
+    # jsonl, so nothing is recomputed or re-emitted (timeout-recovery path).
+    n_before = len(recs)
+    fid_stats.main()
+    recs2 = [json.loads(line) for line in open(out / "fid_stats.jsonl")]
+    assert len(recs2) == n_before
+
+    # A fresh seed count forces only the missing cells: seeds=3 adds one
+    # model record + a re-aggregated model_agg, and leaves floor/noise alone.
+    argv3 = [a if a != "2" else "3" for a in argv]
+    monkeypatch.setattr(sys, "argv", argv3)
+    fid_stats.main()
+    recs3 = [json.loads(line) for line in open(out / "fid_stats.jsonl")]
+    assert len([r for r in recs3 if r["kind"] == "model"]) == 3
+    assert len([r for r in recs3 if r["kind"] == "floor_split"]) == 1
+    assert len([r for r in recs3 if r["kind"] == "noise_anchor"]) == 1
+    aggs = [r for r in recs3 if r["kind"] == "model_agg"]
+    assert aggs[-1]["n_seeds"] == 3
