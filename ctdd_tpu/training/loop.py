@@ -260,7 +260,19 @@ def train(
 
     checkpoint_freq = cfg.saving.get("checkpoint_freq", 10000)
     sample_freq = cfg.sampler.get("sample_freq", 0)
-    sampler = get_sampler(cfg) if sample_freq and sample_freq <= n_iters else None
+    # D3PM models carry no CTMC forward process (model.process is None); the
+    # CTMC samplers here would crash mid-run (observed: AttributeError at the
+    # iter-10k grid pass of a synthetic_d3pm train). Their ancestral sampling
+    # lives in eval.py's d3pm branch; skip in-loop grids for them.
+    has_process = getattr(model, "process", None) is not None
+    sampler = (
+        get_sampler(cfg)
+        if sample_freq and sample_freq <= n_iters and has_process
+        else None
+    )
+    if sample_freq and not has_process:
+        print("in-loop sample grids disabled: model has no CTMC process "
+              "(d3pm family) — use eval.py for sampling")
     losses = []
     t_start = time.time()
     t_post_compile = None  # set after the first step completes

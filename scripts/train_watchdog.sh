@@ -15,6 +15,12 @@
 set -u
 PRESET="$1"; TARGET="$2"; shift 2
 EXTRA=("$@")
+# Unique per-generation pid-file: relaunches overwrite /tmp/watchdog_<preset>.pid,
+# which made earlier generations invisible to the deadman/reap sweeps (observed
+# 2026-08-18: three stale queue shells fired duplicate jobs at once). reap.py
+# globs /tmp/*.pid, so this keeps every live generation reapable.
+echo $$ > "/tmp/watchdog_gen.$$.pid"
+trap 'rm -f "/tmp/watchdog_gen.$$.pid"' EXIT
 STALL="${WATCHDOG_STALL:-420}"        # wedge threshold (s); > one grid-sample pass
 COMPILE_GRACE="${WATCHDOG_GRACE:-300}" # post-launch compile window (s)
 cd "$(dirname "$0")/.."
