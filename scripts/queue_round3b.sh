@@ -59,7 +59,7 @@ if [ -n "$STEPS" ]; then
     timeout 9000 python scripts/fid_trajectory.py --preset tauUnet_cifar10 \
         --snapshots runs/cifar10_snapshots --steps "$STEPS" \
         --features trained --samples 512 --batch 256 \
-        --out docs/assets/round3/cifar10_fid_trajectory.jsonl \
+        --out docs/assets/round3/cifar10_traj \
         > /tmp/cifar_traj.log 2>&1
     echo "queue(b): cifar trajectory rc=$? at $(date)"
     # Tighter final point: 2048 samples at the last snapshot.
@@ -67,7 +67,7 @@ if [ -n "$STEPS" ]; then
     timeout 5400 python scripts/fid_trajectory.py --preset tauUnet_cifar10 \
         --snapshots runs/cifar10_snapshots --steps "$LAST" \
         --features trained --samples 2048 --batch 256 \
-        --out docs/assets/round3/cifar10_fid_final.jsonl \
+        --out docs/assets/round3/cifar10_final \
         > /tmp/cifar_final.log 2>&1
     echo "queue(b): cifar final-point rc=$? at $(date), left=$(left)s"
 fi
