@@ -298,11 +298,18 @@ def main():
         if cfg.data.name == "LakhPianoroll":
             # stand-in structural metric: does the generated suffix stay in
             # the musical key inferred from the prefix alone?
-            from ctdd_tpu.data.pianoroll import scale_consistency
+            from ctdd_tpu.data.pianoroll import REST, scale_consistency
 
+            # rest_frac diagnoses the nan case: an undertrained model
+            # collapses to the marginal mode (all-REST suffixes), which
+            # leaves scale_consistency with zero valid notes (seen at 12k:
+            # model=nan rest_frac=1.0)
+            rest_frac = float((np.asarray(gen)[:, cond_dim:] >= REST).mean())
             print(f"scale_consistency: model={scale_consistency(gen, cond_dim):.4f} "
                   f"gt={scale_consistency(gt_b, cond_dim):.4f} "
-                  f"shuffled={scale_consistency(shuffled, cond_dim):.4f}")
+                  f"shuffled={scale_consistency(shuffled, cond_dim):.4f} "
+                  f"model_rest_frac={rest_frac:.4f} "
+                  f"gt_rest_frac={float((gt_b[:, cond_dim:] >= REST).mean()):.4f}")
     else:
         s = sample_fn(key, args.samples)
         np.save(args.out, s)
