@@ -160,7 +160,12 @@ def check_for_preempted_run(
                 int(d) for d in os.listdir(ckpt_dir)
                 if d.isdigit()
             ] if os.path.isdir(ckpt_dir) else []
-            step = max(steps, default=0)
+            # A run that died before finalizing any checkpoint (empty dir or
+            # only *.orbax-checkpoint-tmp) is not resumable; selecting it
+            # crash-loops every relaunch on restore(). Start fresh instead.
+            if not steps:
+                continue
+            step = max(steps)
             if step > best_step:
                 best, best_step = folder, step
     return best

@@ -62,6 +62,18 @@ def test_check_for_preempted_run(tmp_path):
         str(tmp_path), cfg.experiment_name
     )
     save_config(cfg, os.path.join(paths["config"], "config.yaml"))
+    # No finalized checkpoint step yet -> NOT resumable (regression: a run
+    # that crashed before its first save used to be selected and then
+    # crash-looped every watchdog relaunch on restore()).
+    assert bookkeeping.check_for_preempted_run(
+        str(tmp_path), cfg.experiment_name, cfg
+    ) is None
+    # an unfinalized orbax tmp dir alone is still not resumable
+    os.makedirs(os.path.join(paths["checkpoints"], "2500.orbax-checkpoint-tmp"))
+    assert bookkeeping.check_for_preempted_run(
+        str(tmp_path), cfg.experiment_name, cfg
+    ) is None
+    os.makedirs(os.path.join(paths["checkpoints"], "2500"))
     found = bookkeeping.check_for_preempted_run(
         str(tmp_path), cfg.experiment_name, cfg
     )
