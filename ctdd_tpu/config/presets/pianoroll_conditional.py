@@ -1,4 +1,4 @@
-"""Lakh pianoroll + SequenceTransformer + CondCTElbo + ConditionalTauLeaping.
+"""Lakh pianoroll + SequenceTransformer + CondNLL + ConditionalTauLeaping.
 
 The reference carries the full conditional stack — LakhPianoroll dataset
 (mnist.py:90-103), CondCTElbo (losses.py:547-781), conditional samplers
@@ -6,6 +6,23 @@ The reference carries the full conditional stack — LakhPianoroll dataset
 (loggers.py:62-113) — but ships no config for it (the tauLDR-era piano
 experiments). This preset wires those pieces so the conditional path is
 user-reachable end-to-end.
+
+Two defaults deliberately deviate from a literal CondCTElbo transcription,
+both measured on this box (docs/DESIGN_NOTES.md "Conditional ELBO: the
+all-rest collapse"):
+
+- ``loss.name = "CondNLL"``: at the stand-in's SNR the CondCTElbo objective
+  is indifferent between a collapsed marginal predictor and a real denoiser
+  (score gap ~4 vs per-batch std ~44), and every nll_weight in
+  {1e-3..1e3} under grad clipping trains to all-REST suffixes. The pure
+  suffix-CE objective trains an input-sensitive denoiser in <1k iters; its
+  p0t is exactly what ConditionalTauLeaping consumes. CondCTElbo stays
+  registered for parity (``--set loss.name=CondCTElbo``).
+- ``model.scale_input_embedding = True``: the reference's PositionalEncoding
+  port drops the tutorial's sqrt(d_model) embedding scale, leaving token
+  embeddings ~11x below the PE at init — measured input sensitivity 0.0016
+  decaying to 0 under training. The Vaswani scale restores it (0.39 by 3k
+  iters). False = bit-parity with the reference net.
 """
 
 import ml_collections
@@ -19,7 +36,7 @@ from ctdd_tpu.config.presets._base import (
 def get_config():
     config = base_config("pianoroll_cond")
     loss_section(
-        config, name="CondCTElbo", nll_weight=0.001, min_time=0.01,
+        config, name="CondNLL", nll_weight=0.001, min_time=0.01,
         condition_dim=32,
     )
     training_section(config, n_iters=300000, grad_norm=1.0, max_t=0.99999)
@@ -36,7 +53,7 @@ def get_config():
             num_heads=8, dim_feedforward=2048, dropout=0.1,
             num_output_FFresiduals=2, time_scale_factor=1000, temb_dim=128,
             use_one_hot_input=True, use_cat=True, ema_decay=0.9999,
-            log_prob="cat",
+            log_prob="cat", scale_input_embedding=True,
         )
     )
     adam(config, 2e-4)

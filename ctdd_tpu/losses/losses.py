@@ -10,6 +10,7 @@ with threaded keys. Shapes and math follow the reference exactly:
 - CTElbo          losses.py:11-287   (tauLDR continuous-time ELBO + CE)
 - SDDMElbo        losses.py:290-544  (ELBO with hollow-net log-prob ratios)
 - CondCTElbo      losses.py:547-781  (prefix-conditioned CTElbo)
+- CondNLL         losses.py:547-781 corruption + :1503-1778 CE-only objective
 - CatRM           losses.py:785-890  (categorical ratio matching rm/mle/elbo)
 - EBMAux          losses.py:893-968  (all-mutation energy ratio matching)
 - BinEBMAux       losses.py:971-1045 (binary EBM variant)
@@ -342,6 +343,52 @@ class CondCTElbo:
         neg_elbo = jnp.mean(-outer_sum_sig / sig_norm) + jnp.mean(reg_term)
         nll = mean_cross_entropy(x_logits, data)
         return neg_elbo + self.nll_weight * nll
+
+
+@registry.losses.register
+class CondNLL:
+    """Prefix-conditioned denoising CE — the NLL analog of CondCTElbo.
+
+    Same corruption and forward pass as CondCTElbo (clean prefix of
+    condition_dim tokens concatenated with the q_{t|0}-corrupted suffix,
+    ref losses.py:605-666), but the objective is only the cross-entropy of
+    the suffix logits against the clean suffix — the conditional counterpart
+    of the reference's NLL loss (losses.py:1503-1778), which runs the full
+    ELBO pipeline and keeps only the CE term.
+
+    Rationale (docs/DESIGN_NOTES.md "Conditional ELBO: the all-rest
+    collapse"): at the pianoroll stand-in's SNR the CondCTElbo objective is
+    statistically indifferent between a collapsed marginal predictor and a
+    real denoiser (the ELBO importance ratios bury the signal in variance,
+    and under global-norm clipping no nll_weight escapes it), while the pure
+    CE term trains an input-sensitive denoiser within 150 iterations. A
+    CE-trained p0t is exactly what ConditionalTauLeaping consumes, so this
+    loss is the supported way to train the conditional sampler stack.
+    """
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.min_time = cfg.loss.min_time
+        self.one_forward_pass = cfg.loss.one_forward_pass
+        self.condition_dim = cfg.loss.condition_dim
+
+    def calc_loss(self, model, params, key, minibatch, label=None, n_iter=0,
+                  train=True, rngs=None):
+        x0_full = _flatten_batch(minibatch)
+        B = x0_full.shape[0]
+        cond = x0_full[:, : self.condition_dim]
+        data = x0_full[:, self.condition_dim :]
+
+        kt, ks = jax.random.split(key)
+        ts = _sample_ts(kt, B, self.min_time, 1.0)
+        qt0 = model.transition(ts)
+        rate = model.rate(ts)
+        x_t, x_tilde = sample_xt_xtilde(ks, qt0, rate, data)
+        reg_x = x_tilde if self.one_forward_pass else x_t
+        model_in = jnp.concatenate([cond, reg_x], axis=1)
+        logits_full = model.apply(params, model_in, ts, train=train, rngs=rngs)
+        x_logits = logits_full[:, self.condition_dim :, :]
+        return mean_cross_entropy(x_logits, data)
 
 
 # ---------------------------------------------------------------------------

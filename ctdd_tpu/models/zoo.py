@@ -64,6 +64,7 @@ def _sequence_transformer(cfg):
         use_one_hot_input=cfg.model.use_one_hot_input,
         use_cat=cfg.model.get("use_cat", True),
         max_len=cfg.data.shape[0],
+        scale_input_embedding=cfg.model.get("scale_input_embedding", False),
     )
 
 

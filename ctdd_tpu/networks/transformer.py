@@ -87,6 +87,14 @@ class SequenceTransformer(nn.Module):
     use_cat: bool = True  # categorical input path (one-hot Dense or Embed);
     # False = normalized-scalar Dense (tau_networks.py:616-625 semantics)
     max_len: int = 5000
+    # The reference copies the torch transformer-tutorial PositionalEncoding
+    # (tau_networks.py:467) but drops the tutorial's `* sqrt(d_model)`
+    # embedding scale, leaving the token embedding (std ~1/sqrt(S) at init)
+    # ~11x below the unit-scale PE at d_model=128: measured logit sensitivity
+    # to the *input tokens* is 0.0016 at init and decays to 0 under training
+    # (the marginal/all-rest collapse, docs/DESIGN_NOTES.md). True restores
+    # the standard Vaswani scale; False keeps bit-parity with the reference.
+    scale_input_embedding: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -112,6 +120,8 @@ class SequenceTransformer(nn.Module):
             h = normalize_states(x, self.S)[:, :, None].astype(self.dtype)
             h = nn.Dense(self.d_model, dtype=self.dtype)(h)
 
+        if self.scale_input_embedding:
+            h = h * jnp.sqrt(jnp.float32(self.d_model)).astype(self.dtype)
         h = PositionalEncoding(d_model=self.d_model, max_len=self.max_len)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
 

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from ctdd_tpu.config.presets import get_preset
-from ctdd_tpu.losses.losses import CondCTElbo
+from ctdd_tpu.losses.losses import CondCTElbo, get_loss
 from ctdd_tpu.models.base import create_model
 from ctdd_tpu.sampling.samplers import get_sampler
 
@@ -52,6 +52,48 @@ def test_cond_ctelbo_finite(setup):
     batch = jax.random.randint(jax.random.PRNGKey(1), (4, 10), 0, 4)
     val = loss.calc_loss(model, params, jax.random.PRNGKey(2), batch, train=False)
     assert np.isfinite(float(val))
+
+
+def test_cond_nll_finite_and_registered(setup):
+    cfg, model, params = setup
+    cfg = cond_cfg()
+    cfg.loss.name = "CondNLL"
+    loss = get_loss(cfg)
+    assert type(loss).__name__ == "CondNLL"
+    batch = jax.random.randint(jax.random.PRNGKey(1), (4, 10), 0, 4)
+    val = loss.calc_loss(model, params, jax.random.PRNGKey(2), batch, train=False)
+    # a cross-entropy over S=4 classes: finite, nonnegative, bounded by a
+    # few nats at init
+    assert np.isfinite(float(val))
+    assert 0.0 <= float(val) < 10.0
+
+
+def test_cond_nll_is_suffix_ce(setup):
+    """CondNLL == mean CE of the suffix logits under the same corruption."""
+    cfg, model, params = setup
+    cfg = cond_cfg()
+    cfg.loss.name = "CondNLL"
+    loss = get_loss(cfg)
+    batch = jax.random.randint(jax.random.PRNGKey(5), (4, 10), 0, 4)
+    key = jax.random.PRNGKey(7)
+    val = loss.calc_loss(model, params, key, batch, train=False)
+
+    # replicate by hand with the shared helpers
+    from ctdd_tpu.losses.losses import _sample_ts, sample_xt_xtilde
+    from ctdd_tpu.utils.math import mean_cross_entropy
+
+    x0 = batch
+    cond, data = x0[:, :3], x0[:, 3:]
+    kt, ks = jax.random.split(key)
+    ts = _sample_ts(kt, 4, cfg.loss.min_time, 1.0)
+    qt0 = model.transition(ts)
+    rate = model.rate(ts)
+    x_t, x_tilde = sample_xt_xtilde(ks, qt0, rate, data)
+    reg_x = x_tilde if cfg.loss.one_forward_pass else x_t
+    logits = model.apply(params, jnp.concatenate([cond, reg_x], axis=1), ts,
+                         train=False)
+    expect = mean_cross_entropy(logits[:, 3:, :], data)
+    np.testing.assert_allclose(float(val), float(expect), rtol=1e-6)
 
 
 @pytest.mark.parametrize(

@@ -198,3 +198,35 @@ def test_prefix_conditional_bidir_transformer():
     assert logits.shape == (2, 6, cfg.data.S)
     # the conditional prefix gets dummy zero logits (ref :1127-1132)
     np.testing.assert_allclose(np.asarray(logits[:, :2]), 0.0)
+
+
+def test_sequence_transformer_input_embedding_scale():
+    """scale_input_embedding=True multiplies the token embedding by
+    sqrt(d_model) before the PE; False keeps reference bit-parity."""
+    from ctdd_tpu.networks.transformer import SequenceTransformer
+
+    # the drowning effect is geometry-dependent (embedding std ~1/sqrt(S)
+    # vs unit-scale PE, recovered by sqrt(d_model)) — test at the
+    # pianoroll-like geometry where it was measured, not at toy width
+    kwargs = dict(
+        S=129, num_layers=1, d_model=128, num_heads=2, dim_feedforward=64,
+        dropout=0.0, num_output_FFresiduals=1, time_scale_factor=100,
+        temb_dim=8, use_one_hot_input=True, max_len=12,
+    )
+    x = jnp.arange(2 * 12, dtype=jnp.int32).reshape(2, 12) % 129
+    t = jnp.full((2,), 0.5)
+    plain = SequenceTransformer(**kwargs)
+    scaled = SequenceTransformer(scale_input_embedding=True, **kwargs)
+    params = plain.init(jax.random.PRNGKey(0), x, t)
+    out_plain = plain.apply(params, x, t)
+    out_scaled = scaled.apply(params, x, t)  # same params, different scale
+    assert out_plain.shape == out_scaled.shape == (2, 12, 129)
+    assert np.isfinite(np.asarray(out_scaled)).all()
+    assert not np.allclose(np.asarray(out_plain), np.asarray(out_scaled))
+
+    # the scaled net's logits must be materially more sensitive to the input
+    # tokens (the collapse diagnosis: unscaled sensitivity ~1e-3 at init)
+    x2 = (x + 1) % 129
+    sens_plain = float(np.abs(np.asarray(plain.apply(params, x2, t) - out_plain)).mean())
+    sens_scaled = float(np.abs(np.asarray(scaled.apply(params, x2, t) - out_scaled)).mean())
+    assert sens_scaled > 2.0 * sens_plain
