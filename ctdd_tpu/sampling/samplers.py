@@ -802,6 +802,47 @@ class ConditionalPCTauLeaping(_ConditionalBase):
         return jnp.concatenate([conditioner, x0max], axis=1), jnp.zeros((1,))
 
 
+@registry.samplers.register
+class ConditionalLBJF(_ConditionalBase):
+    """Conditional categorical-Euler (LBJF) decode — beyond-reference.
+
+    The reference ships only Poisson tau-leap conditional decoders
+    (sampling.py:649-905). On this repo's decode sweeps LBJF is the best
+    decode on both maze (44.5% vs 37.1%) and sudoku (23.4% vs 15.2%) at
+    identical checkpoints, so the conditional path exposes it too: the
+    same `_cond_rates` reverse rates, stepped with the exact one-jump
+    categorical posterior (eq.17, `_categorical_euler_update`) instead of
+    Poisson jump counts. Unlike tau-leaping — which freezes wherever the
+    per-step jump mass λ·h ≪ 1 and a zero Poisson draw keeps the state —
+    the Euler posterior renormalizes over {stay, jump} each step, so small
+    but directed reverse rates still move the chain.
+    """
+
+    def _sample_loop(self, model, params, key, N, conditioner):
+        S = self.S
+        k_init, k_scan = jax.random.split(key)
+        x = get_initial_samples(
+            k_init, N, self.sample_D, S, self.initial_dist, self.initial_dist_std
+        )
+        ts, hs = _time_grid(1.0, self.min_t, self.num_steps)
+        keys = jax.random.split(k_scan, self.num_steps)
+
+        def step(x, inp):
+            t, h, k = inp
+            t_ones = t * jnp.ones((N,), jnp.float32)
+            _, rev = self._cond_rates(model, params, conditioner, x, t_ones)
+            x_new = _categorical_euler_update(k, x, rev, h, S)
+            return x_new, jnp.float32(0.0)
+
+        x, _ = jax.lax.scan(self._maybe_remat(step), x, (ts, hs, keys))
+        t_min = self.min_t * jnp.ones((N,), jnp.float32)
+        p0t = jax.nn.softmax(
+            self._cond_p0t(model, params, conditioner, x, t_min), axis=-1
+        )
+        x0max = jnp.argmax(p0t, axis=-1)
+        return jnp.concatenate([conditioner, x0max], axis=1), jnp.zeros((1,))
+
+
 # ---------------------------------------------------------------------------
 # ExactSampling (sampling.py:975-1061)
 # ---------------------------------------------------------------------------

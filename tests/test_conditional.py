@@ -97,7 +97,8 @@ def test_cond_nll_is_suffix_ce(setup):
 
 
 @pytest.mark.parametrize(
-    "sampler_name", ["ConditionalTauLeaping", "ConditionalPCTauLeaping"]
+    "sampler_name",
+    ["ConditionalTauLeaping", "ConditionalPCTauLeaping", "ConditionalLBJF"],
 )
 def test_conditional_samplers_preserve_conditioner(setup, sampler_name):
     cfg, model, params = setup
