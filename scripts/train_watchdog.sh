@@ -35,13 +35,19 @@ launch() {
     sleep "$COMPILE_GRACE"
 }
 
-SAVE_ROOT=$(python - "$PRESET" <<'EOF'
+# WATCHDOG_SAVE_ROOT overrides the preset's save_location — required when the
+# trainer itself is launched with a `--set save_location=...` override, or the
+# target-checkpoint test below watches the wrong directory forever.
+SAVE_ROOT="${WATCHDOG_SAVE_ROOT:-}"
+if [ -z "$SAVE_ROOT" ]; then
+    SAVE_ROOT=$(python - "$PRESET" <<'EOF'
 import sys
 import jax; jax.config.update("jax_platforms", "cpu")
 from ctdd_tpu.config.presets import get_preset
 print(get_preset(sys.argv[1]).save_location)
 EOF
 ) || { echo "watchdog: preset resolve failed"; exit 1; }
+fi
 echo "watchdog: preset=$PRESET save_root=$SAVE_ROOT target=$TARGET"
 
 while true; do
