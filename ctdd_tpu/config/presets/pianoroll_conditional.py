@@ -23,6 +23,12 @@ all-rest collapse"):
   embeddings ~11x below the PE at init — measured input sensitivity 0.0016
   decaying to 0 under training. The Vaswani scale restores it (0.39 by 3k
   iters). False = bit-parity with the reference net.
+- ``model.qk_norm = True``: without it, the scaled-embedding retrain still
+  decodes all-REST — the probe (docs/DESIGN_NOTES.md "the conditioning is
+  dead") shows the trained suffix logits are *bitwise* invariant to the
+  prefix: attention saturated exactly local and severed the conditioning
+  path. QK LayerNorm bounds the attention logits so the cross-position
+  pattern survives training. False = bit-parity with the reference net.
 """
 
 import ml_collections
@@ -53,7 +59,7 @@ def get_config():
             num_heads=8, dim_feedforward=2048, dropout=0.1,
             num_output_FFresiduals=2, time_scale_factor=1000, temb_dim=128,
             use_one_hot_input=True, use_cat=True, ema_decay=0.9999,
-            log_prob="cat", scale_input_embedding=True,
+            log_prob="cat", scale_input_embedding=True, qk_norm=True,
         )
     )
     adam(config, 2e-4)

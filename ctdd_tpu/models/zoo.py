@@ -65,6 +65,7 @@ def _sequence_transformer(cfg):
         use_cat=cfg.model.get("use_cat", True),
         max_len=cfg.data.shape[0],
         scale_input_embedding=cfg.model.get("scale_input_embedding", False),
+        qk_norm=cfg.model.get("qk_norm", False),
     )
 
 

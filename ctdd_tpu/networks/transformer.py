@@ -28,6 +28,7 @@ class EncoderLayer(nn.Module):
     num_heads: int
     dim_feedforward: int
     dropout: float
+    qk_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -40,6 +41,7 @@ class EncoderLayer(nn.Module):
             dtype=self.dtype,
             dropout_rate=self.dropout,
             deterministic=not train,
+            normalize_qk=self.qk_norm,
         )(x, x)
         sa = nn.Dropout(self.dropout, deterministic=not train)(sa)
         x = nn.LayerNorm(dtype=self.dtype)(x + sa)
@@ -95,6 +97,11 @@ class SequenceTransformer(nn.Module):
     # (the marginal/all-rest collapse, docs/DESIGN_NOTES.md). True restores
     # the standard Vaswani scale; False keeps bit-parity with the reference.
     scale_input_embedding: bool = False
+    # QK LayerNorm: bounds attention logits so the cross-position pattern
+    # can't saturate exactly-local under training (the conditional decode
+    # collapse, docs/DESIGN_NOTES.md "the conditioning is dead"). False =
+    # reference bit-parity.
+    qk_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -131,6 +138,7 @@ class SequenceTransformer(nn.Module):
                 num_heads=self.num_heads,
                 dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout,
+                qk_norm=self.qk_norm,
                 dtype=self.dtype,
             )(h, temb, train=train)
         for _ in range(self.num_output_FFresiduals):

@@ -230,3 +230,43 @@ def test_sequence_transformer_input_embedding_scale():
     sens_plain = float(np.abs(np.asarray(plain.apply(params, x2, t) - out_plain)).mean())
     sens_scaled = float(np.abs(np.asarray(scaled.apply(params, x2, t) - out_scaled)).mean())
     assert sens_scaled > 2.0 * sens_plain
+
+
+def test_sequence_transformer_qk_norm():
+    """qk_norm=True inserts per-head QK LayerNorms (bounded attention
+    logits — the conditional decode-collapse fix, DESIGN_NOTES 'the
+    conditioning is dead'); False keeps reference bit-parity."""
+    import jax.tree_util as jtu
+
+    from ctdd_tpu.networks.transformer import SequenceTransformer
+
+    kwargs = dict(
+        S=17, num_layers=1, d_model=32, num_heads=2, dim_feedforward=48,
+        dropout=0.0, num_output_FFresiduals=1, time_scale_factor=100,
+        temb_dim=8, use_one_hot_input=True, max_len=12,
+        scale_input_embedding=True,
+    )
+    x = jnp.arange(2 * 12, dtype=jnp.int32).reshape(2, 12) % 17
+    t = jnp.full((2,), 0.5)
+    plain = SequenceTransformer(**kwargs)
+    qk = SequenceTransformer(qk_norm=True, **kwargs)
+    p_plain = plain.init(jax.random.PRNGKey(0), x, t)
+    p_qk = qk.init(jax.random.PRNGKey(0), x, t)
+
+    # qk_norm adds LayerNorm leaves under the attention scope and nothing else
+    names_plain = {jtu.keystr(k) for k, _ in jtu.tree_leaves_with_path(p_plain)}
+    names_qk = {jtu.keystr(k) for k, _ in jtu.tree_leaves_with_path(p_qk)}
+    extra = names_qk - names_plain
+    assert extra and all("_ln" in n or "norm" in n.lower() for n in extra), extra
+    assert not (names_plain - names_qk)
+
+    out = qk.apply(p_qk, x, t)
+    assert out.shape == (2, 12, 17)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # cross-position sensitivity: changing the first 4 tokens must move the
+    # logits at the untouched positions (the conditioning path the collapse
+    # severed)
+    x2 = x.at[:, :4].set((x[:, :4] + 5) % 17)
+    d_rest = np.abs(np.asarray(qk.apply(p_qk, x2, t) - out))[:, 4:]
+    assert d_rest.max() > 0.0
