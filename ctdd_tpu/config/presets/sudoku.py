@@ -1,9 +1,18 @@
-"""Sudoku + DDSM score net + CTElbo + TauL
-(ref config/sudoku_config/config_sudoku_unet.py).
+"""Sudoku + DDSM score net + L_ll (NLLOriginal) + LBJF
+(net/process/schedule from ref config/sudoku_config/config_sudoku_unet.py).
 
 Shape note: the reference wires concat_dim = 81·9 against a (B, 81, 9) net
 output, which its losses cannot consume (SURVEY.md §2.2 caveat); the coherent
 form used here is 81 cells × 9 states.
+
+Two defaults deviate from the reference config, both measured (README
+"sudoku: the objective was the ceiling"): the reference's CTElbo recipe
+plateaus at 23.8% fully-valid boards over a full 400k fresh-stream schedule,
+while the CE-primary L_ll objective — the reference's own winning MNIST
+recipe (ref README.md:163) — reaches 99.2% at 50k iters on the identical
+net/process/data. LBJF decode beats the reference's TauL decode everywhere
+we measured (docs/assets/round3/sudoku_decode_sweep.jsonl). CTElbo + TauL
+stay one ``--set loss.name=CTElbo sampler.name=TauL`` away for bit-parity.
 """
 
 import ml_collections
@@ -16,8 +25,8 @@ from ctdd_tpu.config.presets._base import (
 
 def get_config():
     config = base_config("sudoku")
-    loss_section(config, name="CTElbo", nll_weight=0.001, min_time=0.001)
-    training_section(config, n_iters=400000, grad_norm=2.0, max_t=0.99)
+    loss_section(config, name="NLLOriginal", nll_weight=0.001, min_time=0.001)
+    training_section(config, n_iters=50000, grad_norm=2.0, max_t=0.99)
     config.data = ml_collections.ConfigDict(
         dict(
             name="SudokuDataset", train=True, download=False, S=9,
@@ -39,5 +48,5 @@ def get_config():
     )
     adam(config, 1.5e-4)
     saving_section(config)
-    sampler_section(config, name="TauL", num_steps=1000, is_ordinal=True)
+    sampler_section(config, name="LBJF", num_steps=1000, is_ordinal=True)
     return config
