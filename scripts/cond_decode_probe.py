@@ -73,8 +73,10 @@ def main():
     from ctdd_tpu.training.state import create_train_state
     from ctdd_tpu.utils.bookkeeping import CheckpointManager
     from ctdd_tpu.utils.compile_cache import enable_compile_cache
+    from ctdd_tpu.utils.device_guard import guard_device_init
 
     enable_compile_cache()
+    guard_device_init()  # fail fast (exit 3) if the TPU claim wedges
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="pianoroll_cond")
     ap.add_argument("--ckpt", required=True)
