@@ -23,12 +23,20 @@ all-rest collapse"):
   embeddings ~11x below the PE at init — measured input sensitivity 0.0016
   decaying to 0 under training. The Vaswani scale restores it (0.39 by 3k
   iters). False = bit-parity with the reference net.
-- ``model.qk_norm = True``: without it, the scaled-embedding retrain still
-  decodes all-REST — the probe (docs/DESIGN_NOTES.md "the conditioning is
-  dead") shows the trained suffix logits are *bitwise* invariant to the
-  prefix: attention saturated exactly local and severed the conditioning
-  path. QK LayerNorm bounds the attention logits so the cross-position
-  pattern survives training. False = bit-parity with the reference net.
+- ``model.qk_norm = True``: the round-3i layer probes (README "round 3i",
+  docs/DESIGN_NOTES.md "QK-norm follow-up") show both trained checkpoints
+  *attenuate* the prefix signal ~4-9 orders of magnitude through the stack —
+  distributed per-layer damping, not a single saturated layer — and the old
+  (qk_norm=False) net additionally reaches *bitwise* prefix-invariant suffix
+  logits. QK LayerNorm keeps a nonzero prefix trickle alive through training
+  but does NOT by itself fix the decode collapse; it stays the default
+  because it removes the exact-zero failure mode at no measured cost.
+  False = bit-parity with the reference net.
+
+Checkpoint compatibility: ``qk_norm=True`` adds ``query_ln``/``key_ln``
+LayerNorm parameters to every attention block, so checkpoints trained before
+this default (round-3 runs under ``runs/pianoroll_cond/``) only restore with
+``--set model.qk_norm=False``.
 """
 
 import ml_collections
@@ -41,9 +49,12 @@ from ctdd_tpu.config.presets._base import (
 
 def get_config():
     config = base_config("pianoroll_cond")
+    # aux_key_weight > 0 (with model.aux_key_classes=12) turns on the
+    # auxiliary suffix-position key-readout CE — the round-4 attack on the
+    # decode collapse (see CondNLL docstring). 0 = plain CondNLL.
     loss_section(
         config, name="CondNLL", nll_weight=0.001, min_time=0.01,
-        condition_dim=32,
+        condition_dim=32, aux_key_weight=0.0,
     )
     training_section(config, n_iters=300000, grad_norm=1.0, max_t=0.99999)
     config.data = ml_collections.ConfigDict(
@@ -60,6 +71,7 @@ def get_config():
             num_output_FFresiduals=2, time_scale_factor=1000, temb_dim=128,
             use_one_hot_input=True, use_cat=True, ema_decay=0.9999,
             log_prob="cat", scale_input_embedding=True, qk_norm=True,
+            aux_key_classes=0,
         )
     )
     adam(config, 2e-4)

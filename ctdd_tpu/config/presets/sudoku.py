@@ -13,6 +13,11 @@ recipe (ref README.md:163) — reaches 99.2% at 50k iters on the identical
 net/process/data. LBJF decode beats the reference's TauL decode everywhere
 we measured (docs/assets/round3/sudoku_decode_sweep.jsonl). CTElbo + TauL
 stay one ``--set loss.name=CTElbo sampler.name=TauL`` away for bit-parity.
+
+One known t-range deviation: NLLOriginal here samples t in
+[min_time, training.max_t] = [0.001, 0.99], while the reference's
+NLLOriginal samples t in [min_time, 1.0] (ref losses.py:1047); pass
+``--set training.max_t=1.0`` for exact parity.
 """
 
 import ml_collections
@@ -25,6 +30,9 @@ from ctdd_tpu.config.presets._base import (
 
 def get_config():
     config = base_config("sudoku")
+    # nll_weight is dead under NLLOriginal (losses.py NLLOriginal never reads
+    # it); kept at the round-3 value only so --auto-resume's config-equality
+    # check still matches the committed sudoku_nll runs.
     loss_section(config, name="NLLOriginal", nll_weight=0.001, min_time=0.001)
     training_section(config, n_iters=50000, grad_norm=2.0, max_t=0.99)
     config.data = ml_collections.ConfigDict(

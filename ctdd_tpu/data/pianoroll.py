@@ -76,6 +76,31 @@ def generate_standin(
     return out
 
 
+def scale_membership() -> np.ndarray:
+    """(12, 12) bool: membership[key, pc] = pitch-class pc is in major key."""
+    member = np.zeros((12, 12), bool)
+    for key in range(12):
+        member[key, (_MAJOR + key) % 12] = True
+    return member
+
+
+def infer_key_jnp(prefix):
+    """jax.numpy twin of `infer_key` for on-device aux-loss labels.
+
+    prefix: (B, L_p) int array (traced ok). Returns (B,) int32 key indices.
+    Ties break toward the lowest key index, matching numpy argmax.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    member = jnp.asarray(scale_membership(), jnp.float32)  # (12, 12)
+    pc = jnp.where(prefix >= REST, 0, prefix % 12)
+    valid = (prefix < REST).astype(jnp.float32)  # rests don't vote
+    onehot_pc = jax.nn.one_hot(pc, 12) * valid[..., None]  # (B, L, 12)
+    scores = jnp.einsum("blp,kp->bk", onehot_pc, member)
+    return jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+
 def infer_key(prefix: np.ndarray) -> np.ndarray:
     """Most-compatible major key per row from prefix notes.
 

@@ -364,6 +364,16 @@ class CondNLL:
     CE term trains an input-sensitive denoiser within 150 iterations. A
     CE-trained p0t is exactly what ConditionalTauLeaping consumes, so this
     loss is the supported way to train the conditional sampler stack.
+
+    Auxiliary key-readout term (round 4, the remaining live attack on the
+    decode collapse): with ``loss.aux_key_weight > 0`` and
+    ``model.aux_key_classes = 12`` the network grows a per-position key head
+    and this loss adds λ · CE(suffix-position key logits, key inferred from
+    the clean prefix). The key labels come from `infer_key_jnp` — the same
+    deterministic prefix→key map `scale_consistency` scores against — and the
+    CE is taken at suffix positions only, so the term is minimized *only* by
+    routing prefix information across the prefix/suffix boundary through
+    attention: a direct training signal on the path the collapse kills.
     """
 
     def __init__(self, cfg):
@@ -371,6 +381,14 @@ class CondNLL:
         self.min_time = cfg.loss.min_time
         self.one_forward_pass = cfg.loss.one_forward_pass
         self.condition_dim = cfg.loss.condition_dim
+        self.aux_key_weight = float(cfg.loss.get("aux_key_weight", 0.0))
+        if self.aux_key_weight > 0.0 and not int(
+            cfg.model.get("aux_key_classes", 0)
+        ):
+            raise ValueError(
+                "loss.aux_key_weight > 0 requires model.aux_key_classes > 0 "
+                "(the SequenceTransformer aux head)"
+            )
 
     def calc_loss(self, model, params, key, minibatch, label=None, n_iter=0,
                   train=True, rngs=None):
@@ -386,6 +404,25 @@ class CondNLL:
         x_t, x_tilde = sample_xt_xtilde(ks, qt0, rate, data)
         reg_x = x_tilde if self.one_forward_pass else x_t
         model_in = jnp.concatenate([cond, reg_x], axis=1)
+        if self.aux_key_weight > 0.0:
+            from ctdd_tpu.data.pianoroll import infer_key_jnp
+
+            logits_full, key_logits = model.apply(
+                params, model_in, ts, train=train, rngs=rngs, return_aux=True
+            )
+            x_logits = logits_full[:, self.condition_dim :, :]
+            key_label = infer_key_jnp(cond)  # (B,) from the CLEAN prefix
+            suffix_key_logits = key_logits[:, self.condition_dim :, :]
+            key_ce = mean_cross_entropy(
+                suffix_key_logits,
+                jnp.broadcast_to(
+                    key_label[:, None], suffix_key_logits.shape[:2]
+                ),
+            )
+            return (
+                mean_cross_entropy(x_logits, data)
+                + self.aux_key_weight * key_ce
+            )
         logits_full = model.apply(params, model_in, ts, train=train, rngs=rngs)
         x_logits = logits_full[:, self.condition_dim :, :]
         return mean_cross_entropy(x_logits, data)

@@ -63,11 +63,19 @@ class DiffusionModel:
         label: Optional[jnp.ndarray] = None,
         train: bool = False,
         rngs: Optional[dict] = None,
+        return_aux: bool = False,
     ) -> jnp.ndarray:
-        """Network forward -> (B, D, S) logits."""
+        """Network forward -> (B, D, S) logits.
+
+        return_aux=True forwards to networks exposing auxiliary heads
+        (SequenceTransformer.aux_key_classes) -> (logits, aux) tuple; only
+        losses pass it, samplers always get plain logits.
+        """
         if label is None and self.bound_label is not None:
             label = self.bound_label
         kwargs: dict = {"train": train}
+        if return_aux:
+            kwargs["return_aux"] = True
         if self.has_label and label is not None:
             if self.cfg_scale > 0.0:
                 cond = self.module.apply(

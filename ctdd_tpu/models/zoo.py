@@ -66,6 +66,7 @@ def _sequence_transformer(cfg):
         max_len=cfg.data.shape[0],
         scale_input_embedding=cfg.model.get("scale_input_embedding", False),
         qk_norm=cfg.model.get("qk_norm", False),
+        aux_key_classes=cfg.model.get("aux_key_classes", 0),
     )
 
 

@@ -102,10 +102,19 @@ class SequenceTransformer(nn.Module):
     # collapse, docs/DESIGN_NOTES.md "the conditioning is dead"). False =
     # reference bit-parity.
     qk_norm: bool = False
+    # Auxiliary key-readout head (round-4 conditional-collapse attack): a
+    # per-position Dense to `aux_key_classes` logits over the latent key of
+    # the sequence (12 major scales for the pianoroll stand-in). The loss
+    # reads these at SUFFIX positions only, so minimizing key-CE *requires*
+    # prefix->suffix information flow through attention — the exact path the
+    # collapse kills. 0 disables the head (reference bit-parity; no extra
+    # params).
+    aux_key_classes: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, train: bool = False,
+                 return_aux: bool = False):
         B, L = x.shape
         temb = TimeEmbedMLP(
             temb_dim=self.temb_dim,
@@ -146,4 +155,13 @@ class SequenceTransformer(nn.Module):
                 d_model=self.d_model, hidden=self.dim_feedforward, dtype=self.dtype
             )(h, temb)
         logits = nn.Dense(self.S, dtype=jnp.float32)(h)
-        return logits.astype(jnp.float32) + one_hot_x
+        out = logits.astype(jnp.float32) + one_hot_x
+        if self.aux_key_classes > 0:
+            # always create the head when configured (param tree must not
+            # depend on return_aux); XLA DCEs the matmul in non-aux traces
+            key_logits = nn.Dense(
+                self.aux_key_classes, dtype=jnp.float32, name="aux_key_head"
+            )(h)
+            if return_aux:
+                return out, key_logits
+        return out

@@ -9,10 +9,13 @@ EncoderLayer output with flax `capture_intermediates`, and reports the
 max |Δ| at suffix positions per layer.
 
 Interpretation: nonzero Δ at layer k means layer-k attention still mixes
-prefix into suffix; Δ == 0.0 from layer 1 on means every layer's attention
-pattern is exactly local in float32 (suffix→prefix softmax weights
-underflowed to zero — logit gaps ≳ 100), i.e. the conditioning path is
-severed everywhere, not just at the readout.
+prefix into suffix; Δ == 0.0 from layer 1 on means exact-zero mixing in
+float32. Measured outcome (round 3i, both the qk_norm=False and qk_norm=True
+checkpoints): the prefix signal is *attenuated* ~4-9 orders of magnitude
+distributed across the stack — per-layer damping, not a single saturated
+layer — with exact zeros appearing only in the old qk_norm=False net. The
+collapse persists under qk_norm, so a nonzero trickle here does NOT imply a
+working decode; see README "round 3i".
 
 Usage:
   python scripts/cond_attention_probe.py --ckpt runs/pianoroll_cond/... \

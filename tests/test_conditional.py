@@ -111,3 +111,95 @@ def test_conditional_samplers_preserve_conditioner(setup, sampler_name):
     # the conditioner prefix is returned verbatim (sampling.py:757)
     np.testing.assert_array_equal(out[:, :3], np.asarray(conditioner))
     assert out.min() >= 0 and out.max() < 4
+
+
+def aux_cfg(aux_weight=1.0, aux_classes=12):
+    """Tiny pianoroll_cond config with the aux key head armed."""
+    cfg = get_preset("pianoroll_cond")
+    cfg.data.shape = [16]
+    cfg.data.S = 129
+    cfg.model.concat_dim = 16
+    cfg.model.num_layers = 1
+    cfg.model.d_model = 32
+    cfg.model.num_heads = 2
+    cfg.model.dim_feedforward = 48
+    cfg.model.num_output_FFresiduals = 1
+    cfg.model.temb_dim = 8
+    cfg.model.dropout = 0.0
+    cfg.model.aux_key_classes = aux_classes
+    cfg.loss.condition_dim = 4
+    cfg.loss.aux_key_weight = aux_weight
+    cfg.sampler.condition_dim = 4
+    return cfg
+
+
+def test_aux_key_head_params_only_when_enabled():
+    """aux_key_classes=0 keeps the reference param tree; >0 adds one Dense."""
+    import jax.tree_util as jtu
+
+    cfg_off = aux_cfg(aux_weight=0.0, aux_classes=0)
+    cfg_on = aux_cfg(aux_weight=0.0, aux_classes=12)
+    x = jnp.zeros((2, 16), jnp.int32)
+    t = jnp.full((2,), 0.5)
+    m_off = create_model(cfg_off)
+    m_on = create_model(cfg_on)
+    p_off = m_off.init(jax.random.PRNGKey(0), x, t)
+    p_on = m_on.init(jax.random.PRNGKey(0), x, t)
+    n_off = {jtu.keystr(k) for k, _ in jtu.tree_leaves_with_path(p_off)}
+    n_on = {jtu.keystr(k) for k, _ in jtu.tree_leaves_with_path(p_on)}
+    extra = n_on - n_off
+    assert extra and all("aux_key_head" in n for n in extra), extra
+    assert not (n_off - n_on)
+    # plain apply (the sampler path) returns logits only, same shape either way
+    out = m_on.apply(p_on, x, t)
+    assert out.shape == (2, 16, 129)
+    lg, kl = m_on.apply(p_on, x, t, return_aux=True)
+    assert lg.shape == (2, 16, 129) and kl.shape == (2, 16, 12)
+
+
+def test_cond_nll_aux_term_composes():
+    """aux loss = plain CondNLL + weight * suffix key-CE, and the key-CE
+    gradient reaches the trunk (the prefix->suffix path), not just the head."""
+    from ctdd_tpu.losses.losses import get_loss
+
+    cfg = aux_cfg(aux_weight=0.0, aux_classes=12)
+    model = create_model(cfg)
+    x = jnp.zeros((2, 16), jnp.int32)
+    t = jnp.full((2,), 0.5)
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    batch = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 129)
+    key = jax.random.PRNGKey(2)
+
+    plain = get_loss(cfg).calc_loss(model, params, key, batch, train=False)
+    cfg.loss.aux_key_weight = 0.5
+    with_aux = get_loss(cfg).calc_loss(model, params, key, batch, train=False)
+    assert float(with_aux) > float(plain)  # CE over 12 classes is > 0
+    # same corruption stream (same key): difference is exactly the aux term,
+    # so doubling the weight doubles the gap
+    cfg.loss.aux_key_weight = 1.0
+    with_aux2 = get_loss(cfg).calc_loss(model, params, key, batch, train=False)
+    np.testing.assert_allclose(
+        float(with_aux2) - float(plain),
+        2.0 * (float(with_aux) - float(plain)),
+        rtol=1e-5,
+    )
+
+    loss = get_loss(cfg)
+    grads = jax.grad(
+        lambda p: loss.calc_loss(model, p, key, batch, train=False)
+    )(params)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    trunk = [np.abs(np.asarray(g)).max() for k, g in flat
+             if "aux_key_head" not in jax.tree_util.keystr(k)]
+    head = [np.abs(np.asarray(g)).max() for k, g in flat
+            if "aux_key_head" in jax.tree_util.keystr(k)]
+    assert head and max(head) > 0.0
+    assert max(trunk) > 0.0
+
+
+def test_cond_nll_aux_requires_head():
+    from ctdd_tpu.losses.losses import get_loss
+
+    cfg = aux_cfg(aux_weight=1.0, aux_classes=0)
+    with pytest.raises(ValueError, match="aux_key_classes"):
+        get_loss(cfg)

@@ -87,3 +87,21 @@ def test_conditional_train_loop_samples_with_conditioner(tmp_path):
     import os
 
     assert glob.glob(os.path.join(info["paths"]["pngs"], "samples_*.npy"))
+
+
+def test_infer_key_jnp_matches_numpy():
+    """On-device key inference (aux-loss labels) == the numpy metric's map."""
+    import jax.numpy as jnp
+
+    from ctdd_tpu.data.pianoroll import infer_key_jnp
+
+    x = generate_standin(64, length=256, seed=3)
+    prefix = x[:, :32]
+    np.testing.assert_array_equal(
+        np.asarray(infer_key_jnp(jnp.asarray(prefix))), infer_key(prefix)
+    )
+    # all-rest prefix: no votes, both argmax to key 0
+    rests = np.full((2, 32), REST, np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(infer_key_jnp(jnp.asarray(rests))), infer_key(rests)
+    )
