@@ -1,8 +1,17 @@
-"""Maze 3-state + padded UNet + CTElbo + TauL.
+"""Maze 3-state + padded UNet + CTElbo + LBJF/200 decode.
 
-Mirrors reference config/maze_config/config_tauUnet_maze.py. The reference's
-sampler name "ElboTauL" is unregistered there; the functioning equivalent is
-TauL on the CTElbo rate path.
+Mirrors reference config/maze_config/config_tauUnet_maze.py for the
+net/process/training recipe. The reference's sampler name "ElboTauL" is
+unregistered there; the functioning equivalent family is {TauL, LBJF} on the
+CTElbo rate path.
+
+Decode default deviates from the reference, measured (round-3 sweep,
+docs/assets/round3/maze_sweep.jsonl + maze_500k_full_schedule.jsonl): on the
+240k checkpoint LBJF/200/EMA decodes 44.5% exact-solvable vs TauL/1000's
+37.1%, and on the 500k fresh-stream run 39.9% vs 33.6% — LBJF at 5x fewer
+steps beats TauL everywhere we measured on maze. TauL/1000 stays one
+``--set sampler.name=TauL sampler.num_steps=1000`` away for reference
+bit-parity.
 """
 
 import ml_collections
@@ -37,5 +46,5 @@ def get_config():
     )
     adam(config, 2e-4)
     saving_section(config)
-    sampler_section(config, name="TauL", num_steps=1000, is_ordinal=False)
+    sampler_section(config, name="LBJF", num_steps=200, is_ordinal=False)
     return config
