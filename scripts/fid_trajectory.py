@@ -123,7 +123,23 @@ def main():
             seed=args.seed,
         )
 
-    sampler = get_sampler(cfg)
+    if cfg.loss.name == "d3pm":
+        # D3PM models carry no CTMC process; sample ancestrally like
+        # eval.py (ref eval_synthetic.py:162 -> d3pm.p_sample_loop)
+        from ctdd_tpu.d3pm.diffusion import make_diffusion
+
+        diffusion = make_diffusion(cfg.model)
+
+        def draw(p, k, n):
+            model_fn = lambda x, t: model.apply(p, x, t)  # noqa: E731
+            return np.asarray(diffusion.p_sample_loop(k, model_fn, (n, D)))
+    else:
+        sampler = get_sampler(cfg)
+
+        def draw(p, k, n):
+            out = sampler.sample(model, p, k, N=n)
+            return out[0] if isinstance(out, tuple) else out
+
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "fid.jsonl")
 
@@ -133,10 +149,7 @@ def main():
         outs, key = [], jax.random.PRNGKey(args.seed)
         for i in range(0, args.samples, args.batch):
             key, k = jax.random.split(key)
-            out = sampler.sample(
-                model, p, k, N=min(args.batch, args.samples - i)
-            )
-            outs.append(out[0] if isinstance(out, tuple) else out)
+            outs.append(draw(p, k, min(args.batch, args.samples - i)))
         samples = np.concatenate(outs, axis=0).reshape((-1,) + shape)
         fid = evaluate_fid_score(
             samples, real, feature_kind=kind,
@@ -153,8 +166,14 @@ def main():
         rec = {
             "step": step, "fid": round(float(fid), 6), "features": kind_name,
             "n_samples": int(len(samples)), "n_real": int(n_real),
-            "sampler": cfg.sampler.name,
-            "num_steps": int(cfg.sampler.num_steps),
+            "sampler": (
+                "d3pm_ancestral" if cfg.loss.name == "d3pm"
+                else cfg.sampler.name
+            ),
+            "num_steps": int(
+                cfg.model.num_timesteps if cfg.loss.name == "d3pm"
+                else cfg.sampler.num_steps
+            ),
         }
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
