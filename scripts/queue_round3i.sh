@@ -8,6 +8,10 @@
 # are BITWISE prefix-invariant — attention saturated exactly local under the
 # sqrt(d_model) embedding scale. Fix under test: QK LayerNorm
 # (model.qk_norm=True, now the pianoroll_cond preset default).
+# [SUPERSEDED by this queue's own stage-2 probe: the measured mechanism is
+#  distributed per-layer attenuation, not saturation, and the collapse
+#  persists under qk_norm — see README "round 3i". Header kept as the
+#  hypothesis this run was launched to test.]
 #
 #   1. wait for the in-flight sudoku_nll LBJF eval, run the preset-decode eval
 #   2. layer-locality probe on the OLD (qk_norm=False) conditional ckpt —
