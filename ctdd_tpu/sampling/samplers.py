@@ -29,8 +29,11 @@ explicit `rate_param` switch; `rate_param_from_loss` reproduces the reference
 dispatch (including the effect of its always-true branch at sampling.py:61:
 every non-tauLDR loss takes the CRM path).
 
-Excluded: TAULStepSize (sampling.py:1088-1277) — half-finished debug sampler
-with autograd print statements; SURVEY.md §2.4 marks it experimental-only.
+- TAULStepSize            sampling.py:1088-1277 (tau-leaping + per-step
+                                                step-size diagnostics; see
+                                                class docstring for what of
+                                                the reference's debug
+                                                scaffolding is reproduced)
 """
 
 from __future__ import annotations
@@ -273,6 +276,20 @@ class _SamplerBase:
         # program's live set — mitigation probe for the bf16 1000-step scan
         # compile crash (scripts/bf16_scan_repro.py)
         self.remat_scan_body = bool(cfg.sampler.get("remat_scan_body", False))
+        # host-chunked scan: compile ONE K-step scan program and drive it
+        # num_steps/K times from the host, carry device-resident. The
+        # workaround for the bf16 1000-step scan worker crash: short-trip
+        # bf16 scans compile fine on this stack (<=50 steps at every batch
+        # measured), so K pins program size at a known-good point while the
+        # PRNG stream, time grid and carry chain stay bitwise identical to
+        # the single-scan program (regression-tested). Costs one host
+        # dispatch per chunk (~ms against seconds of chunk compute).
+        self.host_chunk_steps = int(cfg.sampler.get("host_chunk_steps", 0))
+        if self.host_chunk_steps and self.num_steps % self.host_chunk_steps:
+            raise ValueError(
+                f"sampler.host_chunk_steps={self.host_chunk_steps} must "
+                f"divide sampler.num_steps={self.num_steps}"
+            )
 
     def _maybe_remat(self, step_fn):
         return jax.checkpoint(step_fn) if self.remat_scan_body else step_fn
@@ -343,10 +360,14 @@ class _SamplerBase:
             if with_label
             else jnp.zeros((N,), jnp.int32)
         )
-        out = self._jitted(model.module, N, with_label, float(cfg_scale))(
-            model.process, params, key, lab
-        )
-        x, diags = out
+        if self.host_chunk_steps:
+            x, diags = self._sample_host_chunked(
+                model, params, key, N, lab, with_label, float(cfg_scale)
+            )
+        else:
+            x, diags = self._jitted(
+                model.module, N, with_label, float(cfg_scale)
+            )(model.process, params, key, lab)
         return np.asarray(jax.device_get(x)).astype(int), jax.device_get(diags)
 
     @functools.lru_cache(maxsize=8)
@@ -367,6 +388,92 @@ class _SamplerBase:
 
         return jax.jit(run)
 
+    def _make_step(self, model, params, N):
+        """Return the (carry, (t, h, key)) -> (carry, diags) scan body.
+
+        Samplers with the common init → scan → denoise skeleton define only
+        this; they inherit `_sample_loop` and host-chunked sampling."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not factor its scan body through "
+            "_make_step (required for sampler.host_chunk_steps)"
+        )
+
+    def _sample_loop(self, model, params, key, N):
+        """Default device loop: init → scan(_make_step) → argmax denoise."""
+        k_init, k_scan = jax.random.split(key)
+        x = get_initial_samples(
+            k_init, N, self.D, self.S, self.initial_dist, self.initial_dist_std
+        )
+        ts, hs = _time_grid(self.max_t, self.min_t, self.num_steps)
+        keys = jax.random.split(k_scan, self.num_steps)
+        x, diags = jax.lax.scan(
+            self._maybe_remat(self._make_step(model, params, N)),
+            x, (ts, hs, keys),
+        )
+        if self.loss_name in TAULDR_LOSSES:
+            x = _denoise_argmax(model, params, x, self.min_t, N)
+        return x, diags
+
+    @functools.lru_cache(maxsize=8)
+    def _jitted_chunked(self, module, N, with_label=False, cfg_scale=0.0):
+        from ctdd_tpu.models.base import DiffusionModel
+
+        def bind(process, label):
+            return DiffusionModel(
+                module=module, process=process, cfg=self.cfg,
+                has_label=with_label,
+                bound_label=label if with_label else None,
+                cfg_scale=cfg_scale, null_label=self.S,
+            )
+
+        def init_fn(key):
+            return get_initial_samples(
+                key, N, self.D, self.S, self.initial_dist,
+                self.initial_dist_std,
+            )
+
+        def chunk_fn(process, params, x, ts_c, hs_c, keys_c, label):
+            model = bind(process, label)
+            step = self._maybe_remat(self._make_step(model, params, N))
+            return jax.lax.scan(step, x, (ts_c, hs_c, keys_c))
+
+        def denoise_fn(process, params, x, label):
+            return _denoise_argmax(bind(process, label), params, x,
+                                   self.min_t, N)
+
+        return jax.jit(init_fn), jax.jit(chunk_fn), jax.jit(denoise_fn)
+
+    def _sample_host_chunked(self, model, params, key, N, label, with_label,
+                             cfg_scale):
+        """Drive the scan as num_steps/K host-dispatched K-step programs.
+
+        Same step fn, same up-front key fan-out, same carry chain as the
+        single-scan program — only the program boundary moves, so results
+        are bitwise-identical (tests/test_sampler_convergence.py pins this)
+        while the compiled program stays at the known-good K-step size
+        (bf16 1000-step worker-crash workaround, docs/DESIGN_NOTES.md)."""
+        init_fn, chunk_fn, denoise_fn = self._jitted_chunked(
+            model.module, N, with_label, cfg_scale
+        )
+        K = self.host_chunk_steps
+        k_init, k_scan = jax.random.split(key)
+        x = init_fn(k_init)
+        ts, hs = _time_grid(self.max_t, self.min_t, self.num_steps)
+        keys = jax.random.split(k_scan, self.num_steps)
+        chunk_diags = []
+        for c in range(self.num_steps // K):
+            sl = slice(c * K, (c + 1) * K)
+            x, d = chunk_fn(
+                model.process, params, x, ts[sl], hs[sl], keys[sl], label
+            )
+            chunk_diags.append(d)
+        if self.loss_name in TAULDR_LOSSES:
+            x = denoise_fn(model.process, params, x, label)
+        diags = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *chunk_diags
+        )
+        return x, diags
+
 
 # ---------------------------------------------------------------------------
 # TauL — tau-leaping with optional corrector (sampling.py:81-234)
@@ -383,14 +490,8 @@ class TauL(_SamplerBase):
         corrector = transpose_forward + rev
         return indexing.zero_at(corrector, x)
 
-    def _sample_loop(self, model, params, key, N):
-        S, D = self.S, self.D
-        k_init, k_scan = jax.random.split(key)
-        x = get_initial_samples(
-            k_init, N, D, S, self.initial_dist, self.initial_dist_std
-        )
-        ts, hs = _time_grid(self.max_t, self.min_t, self.num_steps)
-        keys = jax.random.split(k_scan, self.num_steps)
+    def _make_step(self, model, params, N):
+        S = self.S
 
         def step(x, inp):
             t, h, k = inp
@@ -432,10 +533,92 @@ class TauL(_SamplerBase):
                 )
             return x_new, changes
 
-        x, change_dim = jax.lax.scan(self._maybe_remat(step), x, (ts, hs, keys))
-        if self.loss_name in TAULDR_LOSSES:
-            x = _denoise_argmax(model, params, x, self.min_t, N)
-        return x, change_dim
+        return step
+
+
+# ---------------------------------------------------------------------------
+# TAULStepSize — tau-leaping + step-size diagnostics (sampling.py:1088-1277)
+# ---------------------------------------------------------------------------
+
+
+@registry.samplers.register
+class TAULStepSize(TauL):
+    """Tau-leaping with per-step step-size diagnostics (sampling.py:1088-1277).
+
+    The reference version is research scaffolding — per-element autograd
+    ``print()`` calls inside the hot loop make it unrunnable beyond toy
+    sizes — but its measurable intent is a TauL run that reports, per
+    timestep, how the step size h interacts with the Poisson jump proposal:
+
+    - ``frac_jumped``:  fraction of (n, d) coordinates proposing any net jump
+      (the reference's ``change_jump``, sampling.py:1205)
+    - ``frac_multi``:   fraction proposing >1 total jumps — the ordinal-clamp
+      / rejection load (``change_clamp``, sampling.py:1190-1192)
+    - ``frac_clipped``: fraction whose post-clamp state actually changed
+      (``change_clip``, sampling.py:1208); ``frac_jumped - frac_clipped`` is
+      the proposal mass lost to the [0, S-1] boundary clip
+
+    ``sample()`` returns ``(x0, diags)`` with each trace a (num_steps,)
+    array — one scan, no host round-trips. The per-element rate-gradient
+    prints the reference computes and discards (sampling.py:1127-1152) are
+    deliberately not reproduced: they were debug output, not sampler
+    function. The corrector branch matches TauL's (as the reference's does,
+    sampling.py:1211-1266).
+    """
+
+    def _make_step(self, model, params, N):
+        S = self.S
+
+        def step(x, inp):
+            t, h, k = inp
+            k_jump, k_corr = jax.random.split(k)
+            t_ones = t * jnp.ones((N,), jnp.float32)
+            rev = self._rev_rates(model, params, x, t_ones)
+            rev = rev * indexing.onehot_mask(x, S)
+            if self.exact_poisson:
+                jump_nums = jax.random.poisson(k_jump, rev * h, dtype=jnp.int32)
+            else:
+                jump_nums = poisson_inversion(k_jump, rev * h)
+            jump_sum = jnp.sum(jump_nums, axis=2)
+            frac_multi = jnp.mean((jump_sum > 1).astype(jnp.float32))
+            if not self.is_ordinal:
+                jump_nums = jump_nums * (jump_sum <= 1)[:, :, None]
+            diff = (
+                jnp.arange(S, dtype=jnp.int32)[None, None, :] - x[:, :, None]
+            )
+            xp = x + jnp.sum(jump_nums * diff, axis=2)
+            frac_jumped = jnp.mean((xp != x).astype(jnp.float32))
+            x_new = jnp.clip(xp, 0, S - 1)
+            frac_clipped = jnp.mean((x_new != x).astype(jnp.float32))
+
+            if self.num_corrector_steps > 0:
+                def do_corr(x_c):
+                    def body(i, carry):
+                        xc, kc = carry
+                        kc, ku = jax.random.split(kc)
+                        corr = self._corrector_rates(model, params, xc, t_ones)
+                        xc = _poisson_jump_update(
+                            ku, xc, corr, h, S, self.is_ordinal,
+                            self.exact_poisson,
+                        )
+                        return (xc, kc)
+
+                    out, _ = jax.lax.fori_loop(
+                        0, self.num_corrector_steps, body, (x_c, k_corr)
+                    )
+                    return out
+
+                x_new = jax.lax.cond(
+                    t <= self.corrector_entry_time, do_corr, lambda xc: xc,
+                    x_new,
+                )
+            diags = dict(
+                frac_jumped=frac_jumped, frac_multi=frac_multi,
+                frac_clipped=frac_clipped,
+            )
+            return x_new, diags
+
+        return step
 
 
 # ---------------------------------------------------------------------------
@@ -445,14 +628,11 @@ class TauL(_SamplerBase):
 
 @registry.samplers.register
 class LBJF(_SamplerBase):
-    def _sample_loop(self, model, params, key, N):
-        S, D = self.S, self.D
-        k_init, k_scan = jax.random.split(key)
-        x = get_initial_samples(
-            k_init, N, D, S, self.initial_dist, self.initial_dist_std
-        )
-        ts, hs = _time_grid(self.max_t, self.min_t, self.num_steps)
-        keys = jax.random.split(k_scan, self.num_steps)
+    # argmax denoise for every x0-parameterization loss (the reference
+    # gates LBJF's on CTElbo only, sampling.py:349; normalized here) —
+    # inherited _sample_loop applies the same TAULDR_LOSSES gate
+    def _make_step(self, model, params, N):
+        S = self.S
 
         def step(x, inp):
             t, h, k = inp
@@ -485,12 +665,7 @@ class LBJF(_SamplerBase):
                 )
             return x_new, changes
 
-        x, change_dim = jax.lax.scan(self._maybe_remat(step), x, (ts, hs, keys))
-        # argmax denoise for every x0-parameterization loss (the reference
-        # gates LBJF's on CTElbo only, sampling.py:349; normalized here)
-        if self.loss_name in TAULDR_LOSSES:
-            x = _denoise_argmax(model, params, x, self.min_t, N)
-        return x, change_dim
+        return step
 
 
 # ---------------------------------------------------------------------------

@@ -102,12 +102,19 @@ fi
 # ---- stage 3: maze 500k fresh-stream retrain + new-preset decode metric ----
 if ! ls -d runs/tauUnet_maze/*/*/checkpoints/500000 >/dev/null 2>&1 \
         && [ "$(left)" -gt 21000 ]; then
+    # snapshot every 120k so the long-horizon decline (VERDICT weak #5:
+    # 44.5% at 240k -> ~40% at 500k) can be re-measured under the new
+    # preset decode on THIS run's own mid checkpoints
+    nohup bash scripts/snapshot_collector.sh 'runs/tauUnet_maze/*/*/checkpoints' \
+        runs/maze_snapshots 120000 120 > /tmp/maze_snapshots.log 2>&1 &
+    MSNAP_PID=$!
     WATCHDOG_STALL=600 timeout 9000 bash scripts/train_watchdog.sh \
         tauUnet_maze 500000 \
         --set sampler.sample_freq=1000000 saving.checkpoint_freq=20000 \
         > /tmp/queue_maze_train.log 2>&1
     note "maze 500k watchdog rc=$?"
     reap_trainer tauUnet_maze
+    kill "$MSNAP_PID" 2>/dev/null
 fi
 MDIR=$(ls -dt runs/tauUnet_maze/*/*/checkpoints 2>/dev/null | head -1)
 MSTEP=$(ls "$MDIR" 2>/dev/null | sort -n | tail -1)
@@ -122,7 +129,16 @@ if [ -n "$MSTEP" ]; then
         --set sampler.name=TauL sampler.num_steps=1000 sampler.is_ordinal=True \
         > "$A/maze_${MSTEP}_acc_taul1000.log" 2>&1
     note "maze acc TauL/1000 rc=$?"
-    commit_evidence "Round-4 evidence: maze ${MSTEP} retrain, preset LBJF/200 vs TauL/1000 decode"
+    # long-horizon decline: same preset decode on each archived mid snapshot
+    for SNAP in $(ls runs/maze_snapshots 2>/dev/null | sort -n); do
+        [ "$SNAP" = "$MSTEP" ] && continue
+        timeout 2700 python eval.py --preset tauUnet_maze \
+            --ckpt runs/maze_snapshots --step "$SNAP" \
+            --metric maze_acc --samples 512 --batch 256 \
+            > "$A/maze_${SNAP}_acc_preset_lbjf200.log" 2>&1
+        note "maze acc snapshot $SNAP rc=$?"
+    done
+    commit_evidence "Round-4 evidence: maze ${MSTEP} retrain, preset LBJF/200 vs TauL/1000 decode + mid-snapshot trajectory"
 fi
 
 # ---- stage 4: mnist_d3pm for the remaining TPU budget ----

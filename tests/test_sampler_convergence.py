@@ -263,3 +263,78 @@ def test_exact_final_bridge_step_samples_p0t_exactly():
         jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(42), (S,)) * 1.5)
     )
     np.testing.assert_allclose(hist, expect, atol=0.02)
+
+def test_taul_step_size_diagnostics():
+    """TAULStepSize = TauL + per-step step-size traces (ref
+    sampling.py:1088-1277, minus its debug autograd prints). Invariants:
+    the oracle fixed point still holds; each trace is (num_steps,) in
+    [0, 1]; the boundary clip can only remove proposal mass
+    (frac_clipped <= frac_jumped); jumps must actually occur early in the
+    reverse chain (traces are not all-zero)."""
+    cfg, model, params = oracle_setup("CTElbo", "TAULStepSize")
+    sampler = get_sampler(cfg)
+    samples, diags = sampler.sample(model, params, jax.random.PRNGKey(0), N=32)
+    frac_zero = float(np.mean(samples == 0))
+    assert frac_zero > 0.9, frac_zero
+    assert set(diags) == {"frac_jumped", "frac_multi", "frac_clipped"}
+    for name, trace in diags.items():
+        trace = np.asarray(trace)
+        assert trace.shape == (cfg.sampler.num_steps,), (name, trace.shape)
+        assert ((trace >= 0.0) & (trace <= 1.0)).all(), name
+    assert (
+        np.asarray(diags["frac_clipped"])
+        <= np.asarray(diags["frac_jumped"]) + 1e-6
+    ).all()
+    assert np.asarray(diags["frac_jumped"]).max() > 0.0
+
+
+def test_taul_step_size_with_live_corrector():
+    """The corrector branch of TAULStepSize matches TauL's (ref
+    sampling.py:1211-1266): with corrector steps firing the oracle still
+    converges."""
+    cfg, model, params = oracle_setup("CatRM", "TAULStepSize")
+    cfg.sampler.corrector_entry_time = 0.5
+    cfg.sampler.num_corrector_steps = 3
+    sampler = get_sampler(cfg)
+    assert sampler.num_corrector_steps == 3
+    samples, _ = sampler.sample(model, params, jax.random.PRNGKey(0), N=32)
+    assert float(np.mean(samples == 0)) > 0.9
+
+
+@pytest.mark.parametrize(
+    "sampler_name,loss_name",
+    [("TauL", "CTElbo"), ("TauL", "CatRM"), ("LBJF", "CTElbo")],
+)
+def test_host_chunked_scan_bitwise_identical(sampler_name, loss_name):
+    """sampler.host_chunk_steps=K drives the SAME step fn as num_steps/K
+    K-step programs with identical up-front key fan-out and carry chain, so
+    the samples must be bitwise identical to the single-scan program (the
+    bf16 1000-step worker-crash workaround must not change results —
+    docs/DESIGN_NOTES.md)."""
+    cfg, model, params = oracle_setup(loss_name, sampler_name)
+    key = jax.random.PRNGKey(7)
+    ref, ref_diag = get_sampler(cfg).sample(model, params, key, N=16)
+    cfg.sampler.host_chunk_steps = 25  # 100 steps -> 4 chunks
+    chunked, ch_diag = get_sampler(cfg).sample(model, params, key, N=16)
+    np.testing.assert_array_equal(ref, chunked)
+    np.testing.assert_array_equal(np.asarray(ref_diag), np.asarray(ch_diag))
+
+
+def test_host_chunked_corrector_bitwise_identical():
+    """Chunking must also preserve the corrector branch (lax.cond on
+    t <= corrector_entry_time fires inside chunks)."""
+    cfg, model, params = oracle_setup("CTElbo", "TauL")
+    cfg.sampler.corrector_entry_time = 0.5
+    cfg.sampler.num_corrector_steps = 2
+    key = jax.random.PRNGKey(11)
+    ref, _ = get_sampler(cfg).sample(model, params, key, N=16)
+    cfg.sampler.host_chunk_steps = 20
+    chunked, _ = get_sampler(cfg).sample(model, params, key, N=16)
+    np.testing.assert_array_equal(ref, chunked)
+
+
+def test_host_chunked_rejects_non_divisor():
+    cfg, _, _ = oracle_setup("CTElbo", "TauL")
+    cfg.sampler.host_chunk_steps = 33  # does not divide 100
+    with pytest.raises(ValueError, match="host_chunk_steps"):
+        get_sampler(cfg)
