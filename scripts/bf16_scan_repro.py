@@ -13,7 +13,12 @@ stacks. Run it alone (no other TPU client attached).
 Usage:
   python scripts/bf16_scan_repro.py --mode repro          # pinned crash case
   python scripts/bf16_scan_repro.py --mode remat          # mitigation A:
-        jax.checkpoint on the scan body (shrinks the live program)
+        jax.checkpoint on the scan body (shrinks the live program) —
+        re-ruled-out 2026-08-20: still crashes the worker
+  python scripts/bf16_scan_repro.py --mode chunked        # mitigation B:
+        sampler.host_chunk_steps=50 — ONE 50-step scan program (known-good
+        size) driven 20x from the host, carry device-resident; bitwise
+        identical to the single-scan program (test_sampler_convergence.py)
   python scripts/bf16_scan_repro.py --mode small          # control: N=128,
         50 steps, bf16 — known good
   python scripts/bf16_scan_repro.py --mode f32            # control: same
@@ -47,7 +52,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode", default="repro",
-        choices=["repro", "remat", "small", "f32"],
+        choices=["repro", "remat", "chunked", "small", "f32"],
     )
     args = ap.parse_args()
 
@@ -67,6 +72,10 @@ def main():
         # mitigation A: rematerialize the scan body so XLA compiles a
         # checkpointed (smaller-live-set) program
         cfg.sampler.remat_scan_body = True
+    if args.mode == "chunked":
+        # mitigation B: pin the compiled program at the known-good 50-step
+        # size and drive 1000/50 chunks from the host
+        cfg.sampler.host_chunk_steps = 50
     cfg.sampler.num_steps = num_steps
 
     model = create_model(cfg)
