@@ -42,6 +42,10 @@ def sampler_section(config, **kw):
         # perf path: whole tau-leap update in one Pallas kernel on TPU
         # (ops/fused_update.py); XLA mirror elsewhere
         use_fused_update=False,
+        # conditional decode: q_{t|0}-noise the clamped prefix to the
+        # chain's t each step (in-distribution conditioning for models
+        # trained unconditionally; see samplers._ConditionalBase._prefix_at_t)
+        noise_prefix=False,
     )
     defaults.update(kw)
     config.sampler = ml_collections.ConfigDict(defaults)

@@ -842,6 +842,7 @@ class _ConditionalBase(_SamplerBase):
         self.total_D = cfg.data.shape[0]
         self.sample_D = self.total_D - self.condition_dim
         self.reject_multiple_jumps = cfg.sampler.get("reject_multiple_jumps", False)
+        self.noise_prefix = cfg.sampler.get("noise_prefix", False)
         if self.initial_dist != "gaussian":
             self.initial_dist_std = None
 
@@ -867,6 +868,35 @@ class _ConditionalBase(_SamplerBase):
         model_in = jnp.concatenate([conditioner, x], axis=1)
         logits = model.apply(params, model_in, t_ones)
         return logits[:, self.condition_dim :, :]
+
+    def _prefix_at_t(self, model, key, conditioner, t_scalar):
+        """Forward-diffuse the clean prefix to the chain's current time.
+
+        ``sampler.noise_prefix = True`` decode rule for models trained
+        UNconditionally on full sequences (loss.name=NLLOriginal — the
+        tauLDR piano protocol; the reference's ConditionalTauLeaping,
+        sampling.py:649-758, always feeds the clean conditioner instead).
+        A clean prefix concatenated to a t≈1 suffix is off the training
+        distribution of such a model — q_{t|0}-noising the prefix to the
+        chain's own t keeps every network input in-distribution, while the
+        returned sample still carries the true clean prefix (the final
+        p0t/denoise call at min_t uses the clean conditioner). One fresh
+        draw per scan step (not a bridged trajectory): exact for the
+        factorized forward process marginals the model was trained on.
+        """
+        qt0, _ = _shared_mats(model.process, t_scalar)
+        logits = safe_log(jnp.take(qt0, conditioner, axis=0))
+        return jax.random.categorical(key, logits, axis=-1)
+
+    def _step_conditioner(self, model, key, conditioner, t_scalar):
+        """(key', conditioner') for one scan step. Splits the step key ONLY
+        when noise_prefix is on, so the default decode's RNG stream — and
+        the bitwise regression pins on it — is unchanged by the flag's
+        existence."""
+        if not self.noise_prefix:
+            return key, conditioner
+        key, k_pre = jax.random.split(key)
+        return key, self._prefix_at_t(model, k_pre, conditioner, t_scalar)
 
     def _cond_rates(self, model, params, conditioner, x, t_ones):
         """(transpose_forward, reverse) rates on sampled dims
@@ -897,8 +927,9 @@ class ConditionalTauLeaping(_ConditionalBase):
 
         def step(x, inp):
             t, h, k = inp
+            k, cond_step = self._step_conditioner(model, k, conditioner, t)
             t_ones = t * jnp.ones((N,), jnp.float32)
-            _, rev = self._cond_rates(model, params, conditioner, x, t_ones)
+            _, rev = self._cond_rates(model, params, cond_step, x, t_ones)
             # NOTE: reference computes the rejection mask but then overwrites
             # adj_diffs with the unmasked product (sampling.py:734-744) — so
             # reject_multiple_jumps is a no-op there; we honor the flag.
@@ -1004,8 +1035,9 @@ class ConditionalLBJF(_ConditionalBase):
 
         def step(x, inp):
             t, h, k = inp
+            k, cond_step = self._step_conditioner(model, k, conditioner, t)
             t_ones = t * jnp.ones((N,), jnp.float32)
-            _, rev = self._cond_rates(model, params, conditioner, x, t_ones)
+            _, rev = self._cond_rates(model, params, cond_step, x, t_ones)
             x_new = _categorical_euler_update(k, x, rev, h, S)
             return x_new, jnp.float32(0.0)
 
