@@ -203,3 +203,40 @@ def test_cond_nll_aux_requires_head():
     cfg = aux_cfg(aux_weight=1.0, aux_classes=0)
     with pytest.raises(ValueError, match="aux_key_classes"):
         get_loss(cfg)
+
+
+@pytest.mark.parametrize(
+    "sampler_name", ["ConditionalTauLeaping", "ConditionalLBJF"]
+)
+def test_noised_prefix_decode_runs_and_clamps(setup, sampler_name):
+    """sampler.noise_prefix=True (beyond-ref decode rule for
+    unconditionally-trained models) still returns the CLEAN conditioner in
+    the prefix slots and valid states elsewhere."""
+    cfg, model, params = setup
+    cfg.sampler.name = sampler_name
+    cfg.sampler.noise_prefix = True
+    try:
+        sampler = get_sampler(cfg)
+        conditioner = jax.random.randint(jax.random.PRNGKey(5), (6, 3), 0, 4)
+        out = sampler.sample(model, params, jax.random.PRNGKey(6), N=6,
+                             conditioner=conditioner)
+    finally:
+        cfg.sampler.noise_prefix = False
+    assert out.shape == (6, 10)
+    np.testing.assert_array_equal(out[:, :3], np.asarray(conditioner))
+    assert out.min() >= 0 and out.max() < 4
+
+
+def test_noise_prefix_flag_off_is_bitwise_default(setup):
+    """noise_prefix=False must not perturb the default decode's RNG stream
+    (the flag's key-split is gated, not unconditional)."""
+    cfg, model, params = setup
+    cfg.sampler.name = "ConditionalTauLeaping"
+    conditioner = jax.random.randint(jax.random.PRNGKey(3), (4, 3), 0, 4)
+    outs = []
+    for flag in (False, False):
+        cfg.sampler.noise_prefix = flag
+        sampler = get_sampler(cfg)
+        outs.append(sampler.sample(model, params, jax.random.PRNGKey(4),
+                                   N=4, conditioner=conditioner))
+    np.testing.assert_array_equal(outs[0], outs[1])
