@@ -144,12 +144,31 @@ def main():
                 ce = float(-np.log(
                     np.take_along_axis(p_own, x0_suf[..., None], axis=-1) + 1e-12
                 ).mean())
+                # attention-locality probe: re-randomize ONE 4-token suffix
+                # block; exactly-local (saturated) attention -> the change is
+                # invisible (bitwise) at every OTHER position while the
+                # perturbed positions still move. This discriminates
+                # "per-position MLP collapse" from mere prefix damping.
+                blk = slice(cond_dim + 60, cond_dim + 64)
+                k3 = jax.random.split(k2)[0]
+                pert = own.copy()
+                pert[:, blk] = np.asarray(jax.device_get(jax.random.randint(
+                    k3, (n, 4), 0, S)))
+                p_pert = np.asarray(jax.device_get(probe(params, jnp.asarray(pert), jnp.float32(t))))
+                d = 0.5 * np.abs(p_own - p_pert).sum(-1)  # (n, suffix_D)
+                suf_blk = slice(60, 64)
+                mask = np.ones(d.shape[1], bool); mask[suf_blk] = False
+                # also exclude the blast radius a local conv-ish receptive
+                # field would touch? no conv here: pure attention; any
+                # nonzero off-block TV means cross-position information flow
                 emit(dict(
                     kind="traj", step=step, params=variant, t=t,
                     ce_denoise=ce,
                     tv_prefix=float(0.5 * np.abs(p_own - p_other).sum(-1).mean()),
                     tv_suffix=float(0.5 * np.abs(p_own - p_resuf).sum(-1).mean()),
                     tv_vs_marginal=float(0.5 * np.abs(p_own - marg[None, None, :]).sum(-1).mean()),
+                    tv_block_at_block=float(d[:, suf_blk].mean()),
+                    tv_block_elsewhere=float(d[:, mask].mean()),
                     argmax_note_frac=float((p_own.argmax(-1) < REST).mean()),
                 ))
             try:
