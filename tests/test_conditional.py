@@ -116,6 +116,9 @@ def test_conditional_samplers_preserve_conditioner(setup, sampler_name):
 def aux_cfg(aux_weight=1.0, aux_classes=12):
     """Tiny pianoroll_cond config with the aux key head armed."""
     cfg = get_preset("pianoroll_cond")
+    # the aux term is a CondNLL feature; the preset default flipped to the
+    # round-5 working recipe (NLLOriginal)
+    cfg.loss.name = "CondNLL"
     cfg.data.shape = [16]
     cfg.data.S = 129
     cfg.model.concat_dim = 16
