@@ -50,11 +50,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def probe_a_forward_churn(out):
     """Analytic: expected forward jumps per cell per corrector step."""
     from ctdd_tpu.config.presets import get_preset
-    from ctdd_tpu.ops.forward_process import build_process
+    from ctdd_tpu.models.base import create_model
 
     for preset, steps in (("sudoku", 1000), ("tauUnet_maze", 1000)):
         cfg = get_preset(preset)
-        proc = build_process(cfg)
+        # the preset's process is implied by its registered model name
+        # (zoo pairing, ref models.py:832-1083) — go through create_model
+        proc = create_model(cfg).process
         h = (1.0 - cfg.sampler.min_t) / steps
         for t in (0.02, 0.05, 0.1):
             rate = np.asarray(proc.rate(jnp.asarray([t], jnp.float32))[0])
