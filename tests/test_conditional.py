@@ -243,3 +243,28 @@ def test_noise_prefix_flag_off_is_bitwise_default(setup):
         outs.append(sampler.sample(model, params, jax.random.PRNGKey(4),
                                    N=4, conditioner=conditioner))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_prefix_at_t_matches_qt0_marginals(setup):
+    """_prefix_at_t draws from q_{t|0}(. | prefix): empirical frequencies
+    over many draws match the process transition row (the in-distribution
+    guarantee the noise_prefix decode rule rests on)."""
+    import numpy as np
+
+    cfg, model, params = setup
+    cfg.sampler.name = "ConditionalTauLeaping"
+    cfg.sampler.noise_prefix = True
+    try:
+        sampler = get_sampler(cfg)
+        t = jnp.float32(0.4)
+        cond = jnp.zeros((1, 3), jnp.int32)  # all state 0
+        draws = []
+        for i in range(400):
+            draws.append(np.asarray(
+                sampler._prefix_at_t(model, jax.random.PRNGKey(i), cond, t)
+            ))
+    finally:
+        cfg.sampler.noise_prefix = False
+    freq = np.bincount(np.concatenate(draws).ravel(), minlength=4) / (400 * 3)
+    expected = np.asarray(model.process.transition(t * jnp.ones((1,)))[0][0])
+    np.testing.assert_allclose(freq, expected, atol=0.04)
